@@ -1,0 +1,25 @@
+"""Planar hopper cost (new — the reference ships hopper.xml as a task asset
+but no script uses it, SURVEY.md §2.3). Designed in the same style as the
+reference costs: hop forward at a target speed, keep torso height and
+orientation, regularize control."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def make_costs(model, target_vel_x=1.0, target_height=1.0):
+    def running(state, u, t):
+        qpos, qvel = state.qpos, state.qvel
+        # planar root: qpos = [rootx, rootz, rooty, waist, hip, knee, ankle]
+        cost = 2.0 * (qvel[0] - target_vel_x) ** 2
+        cost += 5.0 * jnp.maximum(target_height - 0.4 - qpos[1] - 1.0, 0.0) ** 2
+        cost += 1.0 * qpos[2] ** 2            # torso pitch
+        cost += 0.1 * qvel[2] ** 2
+        cost += 0.01 * jnp.sum(u**2)
+        return cost
+
+    def terminal(state, t):
+        return 10.0 * running(state, jnp.zeros(model.nu, state.qpos.dtype), t)
+
+    return running, terminal

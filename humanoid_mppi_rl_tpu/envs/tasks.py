@@ -1,0 +1,132 @@
+"""Task registry: every reference operating point as a named preset.
+
+The reference hard-codes hyperparameters as module constants in ~12 scripts
+(SURVEY.md §2.1 table — those constants are the reproduction contract). Here
+each (robot, cost, MPPI config, initial state) tuple is a TaskSpec preset.
+
+Config provenance (reference file:line):
+  cartpole            K=30  T=100 lam=1.0 sigma=1.0   src/cartpole_mppi.py:12-15
+  cartpole_collect    K=75  T=100 lam=1.0 sigma=0.75  src/cartpole_datacollection.jl:19-22
+  humanoid            K=50  T=100 lam=1.0 sigma=1.0   src/Humanoid_mppi.jl:22-25
+  humanoid_v3         K=30  T=75  lam=1.0 sigma=0.75  src/Humanoid_mppi_v3.jl:13-16
+  humanoid_collect    K=50  T=100 lam=1.0 sigma=0.5   src/Humanoid_datacollection_v2.jl:46-49
+  go1                 K=50  H=30  lam=0.2 sigma=0.3   src/mppi.jl:10-13
+  go1_collect         K=50  H=30  lam=0.2 sigma=0.3   src/quadruped_datacollection.py:24-27
+  cartpole_estimator  K=2048 T=100 lam=10.0 sigma=0.5 src/cartpole_mppi_estimator.py:37-40
+  go1_estimator       K=2048 T=50  lam=10.0 sigma=0.4 src/quadruped_mppi_estimator.py:38-41
+  hopper              (new task; asset shipped unused by the reference)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from ..costs import cartpole as cartpole_cost
+from ..costs import hopper as hopper_cost
+from ..costs import humanoid as humanoid_cost
+from ..costs import quadruped as quadruped_cost
+from ..solver.mppi import MPPIConfig
+
+ASSET_DIR = os.path.join(os.path.dirname(__file__), "..", "assets")
+
+
+@dataclasses.dataclass(frozen=True)
+class TaskSpec:
+    name: str
+    asset: str                         # xml file in assets/
+    mppi: MPPIConfig
+    cost_factory: Callable             # (model, **cost_kwargs) -> (running, terminal)
+    cost_kwargs: dict = dataclasses.field(default_factory=dict)
+    init_qpos: Optional[Tuple[float, ...]] = None   # None -> model qpos0/keyframe
+    init_keyframe: Optional[str] = None
+    clamp_ctrl_to_range: bool = False  # clip to actuator ctrlrange (go1 scripts)
+    ctrl_clamp_abs: Optional[float] = None  # e.g. +-10 in src/mppi.jl:93
+
+    def asset_path(self) -> str:
+        return os.path.join(ASSET_DIR, self.asset)
+
+
+def _mk(name, asset, cost_factory, K, T, lam, sigma, tail=0.1, terminal_scale=0.0,
+        **kw):
+    extra = {k: kw.pop(k) for k in list(kw) if k in (
+        "cost_kwargs", "init_qpos", "init_keyframe", "clamp_ctrl_to_range",
+        "ctrl_clamp_abs")}
+    cfg = MPPIConfig(n_samples=K, horizon=T, temperature=lam, sigma=sigma,
+                     tail_decay=tail, terminal_scale=terminal_scale, **kw)
+    return TaskSpec(name=name, asset=asset, mppi=cfg, cost_factory=cost_factory,
+                    **extra)
+
+
+TASKS = {
+    t.name: t
+    for t in [
+        _mk("cartpole", "cartpole.xml", cartpole_cost.make_costs,
+            K=30, T=100, lam=1.0, sigma=1.0, init_qpos=(0.0, np.pi)),
+        _mk("cartpole_collect", "cartpole.xml", cartpole_cost.make_costs,
+            K=75, T=100, lam=1.0, sigma=0.75, init_qpos=(0.0, np.pi)),
+        _mk("humanoid", "humanoid.xml", humanoid_cost.make_costs_v1,
+            K=50, T=100, lam=1.0, sigma=1.0),
+        _mk("humanoid_v3", "humanoid.xml", humanoid_cost.make_costs,
+            K=30, T=75, lam=1.0, sigma=0.75),
+        _mk("humanoid_collect", "humanoid.xml", humanoid_cost.make_costs,
+            K=50, T=100, lam=1.0, sigma=0.5),
+        _mk("go1", "go1.xml", quadruped_cost.make_costs_mppi_jl,
+            K=50, T=30, lam=0.2, sigma=0.3, tail=0.0,
+            init_keyframe="home", ctrl_clamp_abs=10.0),
+        _mk("go1_collect", "go1.xml", quadruped_cost.make_costs,
+            K=50, T=30, lam=0.2, sigma=0.3, tail=0.0,
+            init_keyframe="home", clamp_ctrl_to_range=True),
+        _mk("hopper", "hopper.xml", hopper_cost.make_costs,
+            K=64, T=50, lam=0.5, sigma=0.6),
+    ]
+}
+
+# Benchmark/scale variants (driver-supplied north star, BASELINE.json):
+TASKS["cartpole_pr1"] = dataclasses.replace(
+    TASKS["cartpole"], name="cartpole_pr1",
+    mppi=dataclasses.replace(TASKS["cartpole"].mppi, n_samples=256, horizon=30),
+)
+TASKS["humanoid_bench"] = dataclasses.replace(
+    TASKS["humanoid_collect"], name="humanoid_bench",
+    mppi=dataclasses.replace(TASKS["humanoid_collect"].mppi,
+                             n_samples=8192, horizon=64),
+)
+
+
+def load_task(name: str):
+    """Build (spec, physics_model, dynamics, running, terminal, init_state)."""
+    import jax.numpy as jnp
+
+    from ..dynamics.physics import make_physics_dynamics
+    from ..physics import build_from_mjcf, forward
+
+    spec = TASKS[name]
+    model = build_from_mjcf(spec.asset_path())
+
+    cfg = spec.mppi
+    if spec.clamp_ctrl_to_range:
+        lo, hi = model.ctrl_range()
+        cfg = dataclasses.replace(
+            cfg, ctrl_low=tuple(lo), ctrl_high=tuple(hi), clamp_plan=True)
+    elif spec.ctrl_clamp_abs is not None:
+        c = spec.ctrl_clamp_abs
+        cfg = dataclasses.replace(
+            cfg, ctrl_low=(-c,) * model.nu, ctrl_high=(c,) * model.nu,
+            clamp_plan=True)
+
+    running, terminal = spec.cost_factory(model, **spec.cost_kwargs)
+    dynamics = make_physics_dynamics(model)
+
+    if spec.init_keyframe is not None:
+        qpos0 = dict(model.keyframes)[spec.init_keyframe]
+    elif spec.init_qpos is not None:
+        qpos0 = np.asarray(spec.init_qpos, dtype=np.float64)
+    else:
+        qpos0 = model.qpos0
+    init_state = forward(model, jnp.asarray(qpos0), jnp.zeros(model.nv))
+
+    return spec, model, dynamics, running, terminal, init_state, cfg

@@ -1,0 +1,565 @@
+"""Physics model description, extracted from compiled MJCF.
+
+The reference reaches rigid-body dynamics through the MuJoCo C engine
+(reference src/cartpole_mppi.py:8-9, src/Humanoid_datacollection_v2.jl:10-11).
+Here the MuJoCo *compiler* is still used — host-side, at build time only — to
+resolve MJCF defaults/classes into numeric model constants, which are packed
+into a plain-numpy :class:`PhysicsModel`. All *stepping* happens in our own
+JAX engine (engine.py), compiled by XLA to TPU.
+
+The model object is deliberately NOT a jax pytree: jitted step functions close
+over it, so every structural constant (tree topology, joint types, dof
+addresses) is static at trace time and the numeric constants are embedded and
+constant-folded by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+# Joint types (match mujoco.mjtJoint values)
+FREE = 0
+BALL = 1
+SLIDE = 2
+HINGE = 3
+
+# Geom types we support for collision (match mujoco.mjtGeom values)
+GEOM_PLANE = 0
+GEOM_SPHERE = 2
+GEOM_CAPSULE = 3
+GEOM_ELLIPSOID = 4
+GEOM_CYLINDER = 5
+GEOM_BOX = 6
+
+
+@dataclasses.dataclass(frozen=True)
+class Joint:
+    jtype: int
+    bodyid: int
+    qposadr: int
+    dofadr: int
+    ndof: int
+    pos: np.ndarray       # (3,) anchor in body frame
+    axis: np.ndarray      # (3,) axis in body frame
+    limited: bool
+    range: np.ndarray     # (2,)
+    stiffness: float
+    springref: float      # reference position of the joint spring
+
+
+@dataclasses.dataclass(frozen=True)
+class Actuator:
+    """Joint-transmission actuator (motor or position servo)."""
+    dofadr: int
+    qposadr: int
+    gear: float
+    # force = gain * ctrl + bias0 + bias1 * (gear*q) + bias2 * (gear*qvel)
+    gain: float
+    bias: np.ndarray          # (3,)
+    ctrllimited: bool
+    ctrlrange: np.ndarray     # (2,)
+    forcelimited: bool
+    forcerange: np.ndarray    # (2,)
+
+
+@dataclasses.dataclass(frozen=True)
+class Geom:
+    gtype: int
+    bodyid: int
+    pos: np.ndarray       # (3,) in body frame
+    quat: np.ndarray      # (4,) in body frame
+    size: np.ndarray      # (3,)
+    friction: np.ndarray  # (3,) slide/torsion/roll
+    solref: np.ndarray    # (2,)
+    margin: float
+    priority: int
+    condim: int
+
+
+@dataclasses.dataclass(frozen=True)
+class FKStage:
+    """One (tree-level, joint-slot, joint-type) group, vectorized in FK."""
+    jtype: int
+    rows: np.ndarray       # positions within the level's body list
+    qposadr: np.ndarray    # (n,)
+    dofadr: np.ndarray     # (n,)
+    axis: np.ndarray       # (n, 3) joint axis in body frame
+    jpos: np.ndarray       # (n, 3) joint anchor in body frame
+    ref: np.ndarray        # (n,) qpos0 reference
+
+
+@dataclasses.dataclass(frozen=True)
+class FKLevel:
+    body_ids: np.ndarray   # (n,) bodies at this tree depth
+    parent_ids: np.ndarray # (n,)
+    body_pos: np.ndarray   # (n, 3)
+    body_quat: np.ndarray  # (n, 4)
+    stages: Tuple[FKStage, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class ContactPair:
+    """A static candidate collision pair (precomputed at build time)."""
+    geom1: int            # index into model.geoms; plane goes first if present
+    geom2: int
+    mu: float             # combined sliding friction
+    solref: np.ndarray    # combined (timeconst, dampratio)
+    condim: int
+    margin: float
+
+
+@dataclasses.dataclass(frozen=True)
+class PhysicsModel:
+    nq: int
+    nv: int
+    nu: int
+    nbody: int
+    timestep: float
+    gravity: np.ndarray           # (3,)
+
+    body_parent: Tuple[int, ...]             # (nbody,)
+    body_pos: np.ndarray                     # (nbody, 3)
+    body_quat: np.ndarray                    # (nbody, 4)
+    body_ipos: np.ndarray                    # (nbody, 3) inertial frame pos
+    body_iquat: np.ndarray                   # (nbody, 4)
+    body_mass: np.ndarray                    # (nbody,)
+    body_inertia: np.ndarray                 # (nbody, 3) principal moments
+
+    joints: Tuple[Joint, ...]
+    body_joints: Tuple[Tuple[int, ...], ...]  # joint indices per body, in order
+    ancestor_mask: np.ndarray                 # (nbody, nv) 1.0 if dof in chain
+    # Sdot predecessor mask (nv, nv): P[j,d]=1 if dof d moves the frame in
+    # which S_j is fixed (ancestors + earlier/equal same-body joints; for
+    # free-joint rotational dofs the whole body chain). Free-joint
+    # translational dofs have world-fixed S (Sdot = 0): sdot_zero mask.
+    pred_mask: np.ndarray                     # (nv, nv)
+    sdot_zero: np.ndarray                     # (nv,) 1.0 where Sdot == 0
+    dof_bodyid: np.ndarray                    # (nv,) body carrying each dof
+    dof_damping: np.ndarray                   # (nv,)
+    dof_armature: np.ndarray                  # (nv,)
+    dof_frictionloss: np.ndarray              # (nv,)
+    dof_Mdiag0: np.ndarray                    # (nv,) mass-matrix diag at qpos0
+                                              # (scales limit penalties per dof)
+
+    actuators: Tuple[Actuator, ...]
+    geoms: Tuple[Geom, ...]
+    contact_pairs: Tuple[ContactPair, ...]
+
+    # fixed tendons: length = offset + coef @ qpos_of_joints (hinge/slide dofs)
+    tendon_coef: np.ndarray                   # (ntendon, nv)
+    tendon_range: np.ndarray                  # (ntendon, 2)
+    tendon_limited: np.ndarray                # (ntendon,) bool
+
+    qpos0: np.ndarray                         # (nq,) reference configuration
+    qpos_spring: np.ndarray                   # (nq,)
+
+    body_names: Tuple[str, ...]
+    keyframes: Tuple[Tuple[str, np.ndarray], ...]
+
+    # ---- packed arrays for vectorized force/integration kernels ----------
+    # actuators
+    act_dofadr: np.ndarray        # (nu,) int
+    act_qposadr: np.ndarray       # (nu,) int
+    act_gear: np.ndarray          # (nu,)
+    act_gain: np.ndarray          # (nu,)
+    act_bias: np.ndarray          # (nu, 3)
+    act_ctrl_lo: np.ndarray       # (nu,) (+-inf when unlimited)
+    act_ctrl_hi: np.ndarray
+    act_force_lo: np.ndarray
+    act_force_hi: np.ndarray
+    # single-dof (hinge/slide) joints: qpos<->dof map
+    hs_qposadr: np.ndarray        # (nhs,) int
+    hs_dofadr: np.ndarray         # (nhs,) int
+    # springs over single-dof joints
+    hs_stiffness: np.ndarray      # (nhs,)
+    hs_springref: np.ndarray      # (nhs,)
+    # limits over single-dof joints
+    hs_limited: np.ndarray        # (nhs,) 0/1
+    hs_range: np.ndarray          # (nhs, 2)
+    hs_limit_k: np.ndarray        # (nhs,) penalty stiffness (Mdiag-scaled)
+    hs_limit_c: np.ndarray        # (nhs,) penalty damping
+    # free joints
+    free_qposadr: np.ndarray      # (nfree,) int
+    free_dofadr: np.ndarray       # (nfree,) int
+    free_bodyid: np.ndarray       # (nfree,) int
+    # level-synchronous FK plan (engine._fk): bodies grouped by tree depth,
+    # joints grouped into vectorized (level, slot, type) stages
+    fk_levels: Tuple[FKLevel, ...] = ()
+    # per-dof S assembly masks: dof type one-hots (computed from joints)
+    dof_type_hinge: np.ndarray = None   # (nv,) 1.0 where hinge dof
+    dof_type_slide: np.ndarray = None
+    dof_type_freet: np.ndarray = None   # free translational
+    dof_type_freer: np.ndarray = None   # free rotational
+    free_axis_idx: np.ndarray = None    # (nv,) 0/1/2 local axis index for free dofs
+
+    # penalty-model tuning (see contact.py); derived defaults set at build
+    contact_stiffness: float = 0.0
+    contact_damping: float = 0.0
+    # joint/tendon limit penalty: k = Mdiag0/tc^2, c = 2*zeta*Mdiag0/tc per dof
+    limit_timeconst: float = 0.02
+    limit_dampratio: float = 1.0
+
+    def body_id(self, name: str) -> int:
+        return self.body_names.index(name)
+
+    def ctrl_range(self) -> Tuple[np.ndarray, np.ndarray]:
+        lo = np.array([a.ctrlrange[0] if a.ctrllimited else -np.inf for a in self.actuators])
+        hi = np.array([a.ctrlrange[1] if a.ctrllimited else np.inf for a in self.actuators])
+        return lo, hi
+
+
+def _can_collide(g1, g2, contype, conaffinity, bodyid, parentid, i, j) -> bool:
+    """MuJoCo's dynamic pair filter (contype/conaffinity + same-body/parent)."""
+    if bodyid[i] == bodyid[j]:
+        return False
+    # exclude parent-child body pairs (mujoco default filterparent)
+    b1, b2 = bodyid[i], bodyid[j]
+    if parentid[b1] == b2 or parentid[b2] == b1:
+        # note: mujoco does not filter pairs involving the world body's
+        # children via this rule when the parent is world
+        if not (b1 == 0 or b2 == 0):
+            return False
+    ok = (contype[i] & conaffinity[j]) or (contype[j] & conaffinity[i])
+    return bool(ok)
+
+
+def build_from_mjcf(
+    path: Optional[str] = None,
+    xml: Optional[str] = None,
+    include_self_collisions: bool = False,
+) -> PhysicsModel:
+    """Compile an MJCF file with the host mujoco package and extract constants.
+
+    Only joint types free/slide/hinge and collision geom types
+    plane/sphere/capsule/box (+cylinder approximated as capsule) are
+    supported — these cover all four task models.
+    """
+    import mujoco  # host-side only
+
+    if xml is not None:
+        m = mujoco.MjModel.from_xml_string(xml)
+    else:
+        m = mujoco.MjModel.from_xml_path(path)
+
+    nbody, nq, nv, nu = m.nbody, m.nq, m.nv, m.nu
+
+    # --- joints -----------------------------------------------------------
+    joints: List[Joint] = []
+    body_joints: List[List[int]] = [[] for _ in range(nbody)]
+    for j in range(m.njnt):
+        jt = int(m.jnt_type[j])
+        if jt == BALL:
+            raise NotImplementedError("ball joints not supported")
+        ndof = {FREE: 6, SLIDE: 1, HINGE: 1}[jt]
+        joints.append(
+            Joint(
+                jtype=jt,
+                bodyid=int(m.jnt_bodyid[j]),
+                qposadr=int(m.jnt_qposadr[j]),
+                dofadr=int(m.jnt_dofadr[j]),
+                ndof=ndof,
+                pos=m.jnt_pos[j].copy(),
+                axis=m.jnt_axis[j].copy(),
+                limited=bool(m.jnt_limited[j]),
+                range=m.jnt_range[j].copy(),
+                stiffness=float(m.jnt_stiffness[j]),
+                springref=float(m.qpos_spring[m.jnt_qposadr[j]]) if jt in (SLIDE, HINGE) else 0.0,
+            )
+        )
+        body_joints[int(m.jnt_bodyid[j])].append(j)
+
+    # --- dof->body and ancestor mask -------------------------------------
+    dof_bodyid = m.dof_bodyid.astype(np.int32).copy()
+    parent = [int(p) for p in m.body_parentid]
+    ancestor_mask = np.zeros((nbody, nv))
+    for b in range(nbody):
+        chain = []
+        bb = b
+        while bb != 0:
+            chain.append(bb)
+            bb = parent[bb]
+        for d in range(nv):
+            if dof_bodyid[d] in chain:
+                ancestor_mask[b, d] = 1.0
+
+    # --- Sdot predecessor mask -------------------------------------------
+    pred_mask = np.zeros((nv, nv))
+    sdot_zero = np.zeros(nv)
+    for jj, jnt in enumerate(joints):
+        b = jnt.bodyid
+        strict_anc = ancestor_mask[parent[b]]  # dofs of strict ancestors
+        if jnt.jtype == FREE:
+            for i in range(3):
+                sdot_zero[jnt.dofadr + i] = 1.0
+            for i in range(3, 6):
+                pred_mask[jnt.dofadr + i] = ancestor_mask[b]
+        else:
+            row = strict_anc.copy()
+            for other in body_joints[b]:
+                if other > jj:
+                    break
+                oj = joints[other]
+                row[oj.dofadr : oj.dofadr + oj.ndof] = 1.0
+            pred_mask[jnt.dofadr] = row
+
+    # --- actuators --------------------------------------------------------
+    actuators: List[Actuator] = []
+    for a in range(nu):
+        trntype = int(m.actuator_trntype[a])
+        if trntype != int(mujoco.mjtTrn.mjTRN_JOINT):
+            raise NotImplementedError("only joint-transmission actuators supported")
+        jid = int(m.actuator_trnid[a, 0])
+        actuators.append(
+            Actuator(
+                dofadr=int(m.jnt_dofadr[jid]),
+                qposadr=int(m.jnt_qposadr[jid]),
+                gear=float(m.actuator_gear[a, 0]),
+                gain=float(m.actuator_gainprm[a, 0]),
+                bias=m.actuator_biasprm[a, :3].copy(),
+                ctrllimited=bool(m.actuator_ctrllimited[a]),
+                ctrlrange=m.actuator_ctrlrange[a].copy(),
+                forcelimited=bool(m.actuator_forcelimited[a]),
+                forcerange=m.actuator_forcerange[a].copy(),
+            )
+        )
+
+    # --- geoms & contact pairs -------------------------------------------
+    geoms: List[Geom] = []
+    geom_orig_idx: List[int] = []
+    for g in range(m.ngeom):
+        if m.geom_contype[g] == 0 and m.geom_conaffinity[g] == 0:
+            continue  # visual-only
+        gt = int(m.geom_type[g])
+        if gt == GEOM_CYLINDER:
+            gt = GEOM_CAPSULE  # documented approximation (round caps added)
+        if gt not in (GEOM_PLANE, GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX):
+            raise NotImplementedError(f"geom type {gt} not supported")
+        geoms.append(
+            Geom(
+                gtype=gt,
+                bodyid=int(m.geom_bodyid[g]),
+                pos=m.geom_pos[g].copy(),
+                quat=m.geom_quat[g].copy(),
+                size=m.geom_size[g].copy(),
+                friction=m.geom_friction[g].copy(),
+                solref=m.geom_solref[g].copy(),
+                margin=float(m.geom_margin[g]),
+                priority=int(m.geom_priority[g]),
+                condim=int(m.geom_condim[g]),
+            )
+        )
+        geom_orig_idx.append(g)
+
+    pairs: List[ContactPair] = []
+    for ii in range(len(geoms)):
+        for jj in range(ii + 1, len(geoms)):
+            gi, gj = geom_orig_idx[ii], geom_orig_idx[jj]
+            if not _can_collide(
+                None, None, m.geom_contype, m.geom_conaffinity, m.geom_bodyid,
+                m.body_parentid, gi, gj,
+            ):
+                continue
+            g1, g2 = geoms[ii], geoms[jj]
+            a, b = ii, jj
+            if g2.gtype == GEOM_PLANE and g1.gtype != GEOM_PLANE:
+                a, b = jj, ii
+                g1, g2 = g2, g1
+            if g1.gtype == GEOM_PLANE and g2.gtype == GEOM_PLANE:
+                continue
+            if g1.gtype != GEOM_PLANE and not include_self_collisions:
+                continue  # round-1: floor contacts only (dominant for locomotion)
+            # friction / solref combination (mujoco: priority wins, else max/min)
+            if g1.priority != g2.priority:
+                hp = g1 if g1.priority > g2.priority else g2
+                mu = float(hp.friction[0])
+                solref = hp.solref.copy()
+                condim = hp.condim
+            else:
+                mu = float(max(g1.friction[0], g2.friction[0]))
+                solref = np.minimum(g1.solref, g2.solref)
+                condim = max(g1.condim, g2.condim)
+            pairs.append(
+                ContactPair(
+                    geom1=a, geom2=b, mu=mu, solref=solref, condim=condim,
+                    margin=max(g1.margin, g2.margin),
+                )
+            )
+
+    # --- tendons (fixed only) --------------------------------------------
+    ntendon = m.ntendon
+    tendon_coef = np.zeros((ntendon, nv))
+    tendon_range = np.zeros((ntendon, 2))
+    tendon_limited = np.zeros(ntendon, dtype=bool)
+    for t in range(ntendon):
+        adr = int(m.tendon_adr[t])
+        num = int(m.tendon_num[t])
+        for w in range(adr, adr + num):
+            if int(m.wrap_type[w]) == int(mujoco.mjtWrap.mjWRAP_JOINT):
+                jid = int(m.wrap_objid[w])
+                tendon_coef[t, int(m.jnt_dofadr[jid])] = float(m.wrap_prm[w])
+        tendon_range[t] = m.tendon_range[t]
+        tendon_limited[t] = bool(m.tendon_limited[t])
+
+    # --- keyframes --------------------------------------------------------
+    keyframes = []
+    for k in range(m.nkey):
+        name = mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_KEY, k) or f"key{k}"
+        keyframes.append((name, m.key_qpos[k].copy()))
+
+    body_names = tuple(
+        mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, b) or f"body{b}"
+        for b in range(nbody)
+    )
+
+    total_mass = float(np.sum(m.body_mass))
+    # penalty-contact defaults: stiff enough for ~4 mm penetration under the
+    # robot's full weight, near-critically damped against the total mass
+    # (damping is handled implicitly in the engine, so stiffness here is
+    # bounded by accuracy, not stability)
+    weight = total_mass * 9.81
+    contact_stiffness = weight / 0.004
+    contact_damping = 2.0 * np.sqrt(contact_stiffness * total_mass)
+
+    # mass-matrix diagonal at qpos0 (for per-dof limit penalty scaling)
+    d0 = mujoco.MjData(m)
+    mujoco.mj_forward(m, d0)
+    Mfull = np.zeros((nv, nv))
+    mujoco.mj_fullM(m, d0, Mfull)
+    dof_Mdiag0 = np.diag(Mfull).copy()
+
+    # ---- packed arrays ---------------------------------------------------
+    inf = np.inf
+    act_ctrl_lo = np.array([a.ctrlrange[0] if a.ctrllimited else -inf for a in actuators])
+    act_ctrl_hi = np.array([a.ctrlrange[1] if a.ctrllimited else inf for a in actuators])
+    act_force_lo = np.array([a.forcerange[0] if a.forcelimited else -inf for a in actuators])
+    act_force_hi = np.array([a.forcerange[1] if a.forcelimited else inf for a in actuators])
+    hs = [j for j in joints if j.jtype in (SLIDE, HINGE)]
+    free_joints = [j for j in joints if j.jtype == FREE]
+    limit_tc, limit_zeta = 0.02, 1.0
+    hs_Mdiag = np.array([dof_Mdiag0[j.dofadr] for j in hs]) if hs else np.zeros(0)
+
+    # ---- level-synchronous FK plan ---------------------------------------
+    depth = np.zeros(nbody, dtype=np.int32)
+    for b in range(1, nbody):
+        depth[b] = depth[parent[b]] + 1
+    fk_levels = []
+    for d in range(1, int(depth.max()) + 1 if nbody > 1 else 1):
+        bids = np.where(depth == d)[0].astype(np.int32)
+        if bids.size == 0:
+            continue
+        pids = np.array([parent[b] for b in bids], dtype=np.int32)
+        max_slots = max(len(body_joints[b]) for b in bids)
+        stages: List[FKStage] = []
+        for slot in range(max_slots):
+            for jt in (FREE, SLIDE, HINGE):
+                rows, qadr, dadr, ax, jp, ref = [], [], [], [], [], []
+                for r, b in enumerate(bids):
+                    if slot >= len(body_joints[b]):
+                        continue
+                    jnt = joints[body_joints[b][slot]]
+                    if jnt.jtype != jt:
+                        continue
+                    rows.append(r)
+                    qadr.append(jnt.qposadr)
+                    dadr.append(jnt.dofadr)
+                    ax.append(jnt.axis)
+                    jp.append(jnt.pos)
+                    ref.append(m.qpos0[jnt.qposadr] if jt in (SLIDE, HINGE) else 0.0)
+                if rows:
+                    stages.append(FKStage(
+                        jtype=jt,
+                        rows=np.asarray(rows, dtype=np.int32),
+                        qposadr=np.asarray(qadr, dtype=np.int32),
+                        dofadr=np.asarray(dadr, dtype=np.int32),
+                        axis=np.asarray(ax),
+                        jpos=np.asarray(jp),
+                        ref=np.asarray(ref),
+                    ))
+        fk_levels.append(FKLevel(
+            body_ids=bids, parent_ids=pids,
+            body_pos=m.body_pos[bids].copy(), body_quat=m.body_quat[bids].copy(),
+            stages=tuple(stages),
+        ))
+
+    dof_type_hinge = np.zeros(nv)
+    dof_type_slide = np.zeros(nv)
+    dof_type_freet = np.zeros(nv)
+    dof_type_freer = np.zeros(nv)
+    free_axis_idx = np.zeros(nv, dtype=np.int32)
+    for jnt in joints:
+        if jnt.jtype == HINGE:
+            dof_type_hinge[jnt.dofadr] = 1.0
+        elif jnt.jtype == SLIDE:
+            dof_type_slide[jnt.dofadr] = 1.0
+        elif jnt.jtype == FREE:
+            for i in range(3):
+                dof_type_freet[jnt.dofadr + i] = 1.0
+                free_axis_idx[jnt.dofadr + i] = i
+                dof_type_freer[jnt.dofadr + 3 + i] = 1.0
+                free_axis_idx[jnt.dofadr + 3 + i] = i
+
+    return PhysicsModel(
+        nq=nq, nv=nv, nu=nu, nbody=nbody,
+        timestep=float(m.opt.timestep),
+        gravity=m.opt.gravity.copy(),
+        body_parent=tuple(parent),
+        body_pos=m.body_pos.copy(),
+        body_quat=m.body_quat.copy(),
+        body_ipos=m.body_ipos.copy(),
+        body_iquat=m.body_iquat.copy(),
+        body_mass=m.body_mass.copy(),
+        body_inertia=m.body_inertia.copy(),
+        joints=tuple(joints),
+        body_joints=tuple(tuple(bj) for bj in body_joints),
+        ancestor_mask=ancestor_mask,
+        pred_mask=pred_mask,
+        sdot_zero=sdot_zero,
+        dof_bodyid=dof_bodyid,
+        dof_damping=m.dof_damping.copy(),
+        dof_armature=m.dof_armature.copy(),
+        dof_frictionloss=m.dof_frictionloss.copy(),
+        dof_Mdiag0=dof_Mdiag0,
+        actuators=tuple(actuators),
+        geoms=tuple(geoms),
+        contact_pairs=tuple(pairs),
+        tendon_coef=tendon_coef,
+        tendon_range=tendon_range,
+        tendon_limited=tendon_limited,
+        qpos0=m.qpos0.copy(),
+        qpos_spring=m.qpos_spring.copy(),
+        body_names=body_names,
+        keyframes=tuple(keyframes),
+        contact_stiffness=contact_stiffness,
+        contact_damping=contact_damping,
+        limit_timeconst=limit_tc,
+        limit_dampratio=limit_zeta,
+        act_dofadr=np.array([a.dofadr for a in actuators], dtype=np.int32),
+        act_qposadr=np.array([a.qposadr for a in actuators], dtype=np.int32),
+        act_gear=np.array([a.gear for a in actuators]),
+        act_gain=np.array([a.gain for a in actuators]),
+        act_bias=np.stack([a.bias for a in actuators]) if actuators else np.zeros((0, 3)),
+        act_ctrl_lo=act_ctrl_lo,
+        act_ctrl_hi=act_ctrl_hi,
+        act_force_lo=act_force_lo,
+        act_force_hi=act_force_hi,
+        hs_qposadr=np.array([j.qposadr for j in hs], dtype=np.int32),
+        hs_dofadr=np.array([j.dofadr for j in hs], dtype=np.int32),
+        hs_stiffness=np.array([j.stiffness for j in hs]),
+        hs_springref=np.array([j.springref for j in hs]),
+        hs_limited=np.array([1.0 if j.limited else 0.0 for j in hs]),
+        hs_range=np.stack([j.range for j in hs]) if hs else np.zeros((0, 2)),
+        hs_limit_k=hs_Mdiag / (limit_tc * limit_tc),
+        hs_limit_c=2.0 * limit_zeta * hs_Mdiag / limit_tc,
+        free_qposadr=np.array([j.qposadr for j in free_joints], dtype=np.int32),
+        free_dofadr=np.array([j.dofadr for j in free_joints], dtype=np.int32),
+        free_bodyid=np.array([j.bodyid for j in free_joints], dtype=np.int32),
+        fk_levels=tuple(fk_levels),
+        dof_type_hinge=dof_type_hinge,
+        dof_type_slide=dof_type_slide,
+        dof_type_freet=dof_type_freet,
+        dof_type_freer=dof_type_freer,
+        free_axis_idx=free_axis_idx,
+    )

@@ -1,0 +1,16 @@
+"""Test config: force CPU with a virtual 8-device mesh (the standard JAX trick
+substituting for multi-chip TPU hardware in CI — SURVEY.md §4) and enable f64
+so the engine can be validated against MuJoCo's double-precision oracle."""
+
+import os
+
+# hard-set (the container's sitecustomize exports JAX_PLATFORMS=axon — the
+# real-TPU tunnel — which would make every eager test op a network round-trip)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax
+
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,142 @@
+"""Engine-vs-MuJoCo oracle parity tests.
+
+The reference trusts MuJoCo C stepping outright (reference
+src/cartpole_mppi.py:73); our JAX engine is validated against that same
+oracle: forward kinematics, mass matrix, bias forces, and full smooth steps
+must match to near machine precision on constraint-free states; contact
+states get a qualitative stability check (penalty model vs constraint
+solver — SURVEY.md §7 tolerance ladder).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward, step
+from humanoid_mppi_rl_tpu.physics import engine as eng
+
+mujoco = pytest.importorskip("mujoco")
+
+ASSETS = os.path.join(os.path.dirname(__file__), "..", "humanoid_mppi_rl_tpu", "assets")
+MODELS = ["cartpole", "hopper", "humanoid", "go1"]
+
+
+def _free_state(m, seed=0):
+    """Random state away from limits and the floor (constraint-free)."""
+    rng = np.random.default_rng(seed)
+    qpos = m.qpos0 + rng.normal(0, 0.3, m.nq)
+    for j in range(m.njnt):
+        jt = int(m.jnt_type[j])
+        adr = m.jnt_qposadr[j]
+        if jt == 0:
+            q = qpos[adr + 3 : adr + 7]
+            qpos[adr + 3 : adr + 7] = q / np.linalg.norm(q)
+            qpos[adr + 2] += 1.0
+        elif m.jnt_limited[j]:
+            # small perturbation, clamped inside the range (large ones can
+            # activate joint/tendon limit constraints, e.g. the humanoid
+            # hamstring tendons)
+            lo, hi = m.jnt_range[j]
+            qpos[adr] = m.qpos0[adr] + 0.3 * (qpos[adr] - m.qpos0[adr])
+            qpos[adr] = np.clip(qpos[adr], lo + 0.15 * (hi - lo), hi - 0.15 * (hi - lo))
+        elif jt == 2 and abs(m.jnt_axis[j][2]) > 0.9:
+            qpos[adr] += 1.0
+    qvel = rng.normal(0, 0.5, m.nv)
+    return qpos, qvel
+
+
+@pytest.fixture(scope="module", params=MODELS)
+def setup(request):
+    path = os.path.join(ASSETS, f"{request.param}.xml")
+    m = mujoco.MjModel.from_xml_path(path)
+    pm = build_from_mjcf(path)
+    return request.param, m, pm
+
+
+def test_kinematics_parity(setup):
+    name, m, pm = setup
+    d = mujoco.MjData(m)
+    for seed in range(3):
+        qpos, qvel = _free_state(m, seed)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        mujoco.mj_forward(m, d)
+        st = forward(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+        np.testing.assert_allclose(np.asarray(st.xpos), d.xpos, atol=1e-10)
+        qerr = np.minimum(
+            np.abs(np.asarray(st.xquat) - d.xquat).max(axis=-1),
+            np.abs(np.asarray(st.xquat) + d.xquat).max(axis=-1),
+        )
+        assert qerr.max() < 1e-10
+
+
+def test_mass_matrix_and_bias_parity(setup):
+    name, m, pm = setup
+    d = mujoco.MjData(m)
+    qpos, qvel = _free_state(m, 1)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    mujoco.mj_forward(m, d)
+    st = forward(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+    I, _ = eng._spatial_inertias(pm, st.xpos, st.xquat, jnp.float64)
+    M = eng.mass_matrix(pm, st.S, I)
+    Mref = np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, Mref)
+    np.testing.assert_allclose(np.asarray(M), Mref, atol=1e-9)
+    bias = eng.bias_forces(pm, st.S, I, st.body_vel, st.qvel)
+    np.testing.assert_allclose(np.asarray(bias), d.qfrc_bias, atol=1e-8)
+
+
+def test_smooth_step_parity(setup):
+    """Full step matches mj_step exactly when no constraints are active
+    (frictionloss zeroed on both sides: mujoco solves it as a constraint,
+    we use a smooth approximation)."""
+    import dataclasses
+
+    name, m, pm = setup
+    m.dof_frictionloss[:] = 0
+    # disable the constraint pass: random poses can produce body-body
+    # self-contacts which our round-1 pair set deliberately excludes
+    m.opt.disableflags |= mujoco.mjtDisableBit.mjDSBL_CONSTRAINT
+    pm = dataclasses.replace(pm, dof_frictionloss=np.zeros(m.nv))
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(7)
+    qpos, qvel = _free_state(m, 2)
+    ctrl = rng.uniform(-0.8, 0.8, m.nu)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    d.ctrl[:] = ctrl
+    mujoco.mj_step(m, d)
+    st = step(pm, forward(pm, jnp.asarray(qpos), jnp.asarray(qvel)), jnp.asarray(ctrl))
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-9)
+
+
+def test_contact_sim_stable(setup):
+    """Penalty-contact rollout from rest stays finite and near the floor."""
+    import jax
+
+    name, m, pm = setup
+    if not pm.contact_pairs:
+        pytest.skip("no contacts in model")
+    qpos = m.key_qpos[0].copy() if m.nkey and name == "go1" else m.qpos0.copy()
+    st0 = forward(pm, jnp.asarray(qpos), jnp.zeros(m.nv))
+    u = jnp.zeros(m.nu)
+
+    @jax.jit
+    def run(st):
+        def body(s, _):
+            return step(pm, s, u), None
+        s, _ = jax.lax.scan(body, st, None, length=400)
+        return s
+
+    s = run(st0)
+    assert bool(jnp.all(jnp.isfinite(s.qpos)))
+    assert bool(jnp.all(jnp.isfinite(s.qvel)))
+    # free-root models: root stays above ground (no tunnelling), below 2x start
+    if int(m.jnt_type[0]) == 0:
+        z = float(s.qpos[2])
+        assert -0.05 < z < 3.0
