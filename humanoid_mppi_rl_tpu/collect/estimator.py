@@ -1,0 +1,92 @@
+"""Estimator MPPI: closed-loop control with MPPI planning on a learned
+surrogate while the physics engine plays the real plant.
+
+Mirrors the reference estimator scripts (src/cartpole_mppi_estimator.py,
+src/quadruped_mppi_estimator.py): K=2048 lockstep neural rollouts, lambda=10,
+replace-mode control update (U := sum w*eps), MuJoCo used only as the
+evaluation plant — here our JAX engine plays that role, so the whole loop
+(plan on surrogate + step true plant) is one jitted device program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..costs import cartpole as cartpole_cost
+from ..dynamics.learned import flat_state_from_physics, make_learned_dynamics
+from ..physics import build_from_mjcf, forward, step
+from ..solver.mppi import MPPIConfig, MPPIState, make_mppi
+from .logging import TrajectoryLogger
+
+ESTIMATOR_CONFIGS = {
+    # reference src/cartpole_mppi_estimator.py:37-40
+    "cartpole": MPPIConfig(n_samples=2048, horizon=100, temperature=10.0,
+                           sigma=0.5, update_mode="replace", tail_decay=0.1),
+    # reference src/quadruped_mppi_estimator.py:38-41
+    "quadruped": MPPIConfig(n_samples=2048, horizon=50, temperature=10.0,
+                            sigma=0.4, update_mode="replace", tail_decay=0.1),
+}
+
+
+def quadruped_estimator_costs(goal_pos=(2.0, 0.0, 0.35), action_dim=12):
+    """reference src/quadruped_mppi_estimator.py:48-55"""
+    goal = jnp.asarray(goal_pos)
+
+    def running(x, u, t):
+        return jnp.sum((x[..., :3] - goal) ** 2) + 0.1 * jnp.sum(u**2)
+
+    def terminal(x, t):
+        return 10.0 * jnp.sum((x[..., :3] - goal) ** 2)
+
+    return running, terminal
+
+
+class EstimatorRunner:
+    """Plan on the surrogate; execute on the engine plant."""
+
+    def __init__(self, asset_path: str, apply_fn, params,
+                 cfg: MPPIConfig, running, terminal,
+                 state_slice: Optional[int] = None, seed: int = 0):
+        self.plant_model = build_from_mjcf(asset_path)
+        self.cfg = cfg
+        net_dyn = make_learned_dynamics(apply_fn, params, state_slice=state_slice)
+        plan = make_mppi(net_dyn, running, cfg, terminal_fn=terminal)
+        plant_model = self.plant_model
+
+        def control_step(ms: MPPIState, plant_state):
+            x = flat_state_from_physics(plant_state)
+            action, ms, diag = plan(ms, x)
+            new_plant = step(plant_model, plant_state, action)
+            return action, ms, new_plant, diag
+
+        self.control_step = jax.jit(control_step)
+        self.seed = seed
+
+    def run(self, n_steps: int = 200, init_qpos=None, init_qvel=None,
+            seed: Optional[int] = None) -> TrajectoryLogger:
+        m = self.plant_model
+        qpos = jnp.asarray(init_qpos if init_qpos is not None else m.qpos0)
+        qvel = jnp.asarray(init_qvel if init_qvel is not None else np.zeros(m.nv))
+        plant = forward(m, qpos, qvel)
+        ms = MPPIState.init(jax.random.PRNGKey(self.seed if seed is None else seed),
+                            self.cfg.T, m.nu)
+        log = TrajectoryLogger()
+        for _ in range(n_steps):
+            action, ms, new_plant, _ = self.control_step(ms, plant)
+            log.log(np.concatenate([np.asarray(plant.qpos), np.asarray(plant.qvel)]),
+                    np.asarray(action), float(plant.time))
+            plant = new_plant
+        return log
+
+
+def make_cartpole_estimator(apply_fn, params, asset_path: str,
+                            seed: int = 0) -> EstimatorRunner:
+    running, terminal = cartpole_cost.make_costs_flat()
+    return EstimatorRunner(asset_path, apply_fn, params,
+                           ESTIMATOR_CONFIGS["cartpole"], running, terminal,
+                           seed=seed)

@@ -19,7 +19,7 @@ def running_from_values(x_pos, theta, x_vel, theta_vel, u):
     )
 
 
-def make_costs():
+def make_costs(model=None):
     """Costs over PhysicsState (qpos=[x, theta], qvel=[xdot, thetadot])."""
 
     def running(state, u, t):

@@ -1,0 +1,209 @@
+"""Supervised dynamics training (reference learning/train*.py rebuilt on
+optax/orbax).
+
+Loop parity with reference learning/train.py:23-183:
+- Adam + cosine decay to a floor LR, MSE on next-state deltas
+- eval mean/max abs diff, pct diffs, per-column diffs
+- best-by-eval-loss + periodic + final checkpoints (orbax instead of
+  torch.save), optional TensorBoard scalars, JSONL metrics always
+
+Task presets mirror the three reference trainers:
+  humanoid  FeatureAttention(30,21,512,8,7), Adam 1e-3 cosine->1e-6,
+            200 epochs, batch 64, state_idxes=[0..27,55,56]  (train.py:36-77)
+  cartpole  FeatureAttention(4,1,64,4,2), Adam 1e-4, 50 epochs, batch 32
+            (train_cartpole.py:53-58)
+  quadruped FeatureAttention(37,12,512,4,2), Adam 1e-4, 50 epochs, batch 64
+            (train_quadruped.py:54-60)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from ..models.predictors import make_model
+from ..utils.metrics import JSONLWriter, Timer
+from .data import MultiTrajectoryDataset
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    model_preset: str = "humanoid_attention"
+    lr: float = 1e-3
+    lr_min: float = 1e-6
+    epochs: int = 200
+    batch_size: int = 64
+    return_type: str = "delta"
+    state_idxes: Optional[Sequence[int]] = None
+    eval_split: float = 0.1
+    ckpt_dir: str = "checkpoints/run"
+    ckpt_every: int = 25
+    seed: int = 0
+    log_path: Optional[str] = None
+    compute_dtype: Any = jnp.float32
+
+
+PRESET_CONFIGS = {
+    "humanoid": TrainConfig(
+        model_preset="humanoid_attention", lr=1e-3, lr_min=1e-6, epochs=200,
+        batch_size=64, state_idxes=tuple(range(28)) + (55, 56),
+        ckpt_dir="checkpoints/state_only_v2",
+    ),
+    "cartpole": TrainConfig(
+        model_preset="cartpole_attention", lr=1e-4, lr_min=1e-6, epochs=50,
+        batch_size=32, ckpt_dir="checkpoints_cartpole",
+    ),
+    "quadruped": TrainConfig(
+        model_preset="quadruped_attention", lr=1e-4, lr_min=1e-6, epochs=50,
+        batch_size=64, ckpt_dir="checkpoints_quadruped",
+    ),
+}
+
+
+class TrainState(train_state.TrainState):
+    pass
+
+
+def create_train_state(cfg: TrainConfig, sample_input: np.ndarray,
+                       steps_per_epoch: int):
+    model = make_model(cfg.model_preset, compute_dtype=cfg.compute_dtype)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = model.init(key, jnp.asarray(sample_input[:1]), deterministic=True)
+    sched = optax.cosine_decay_schedule(
+        cfg.lr, max(1, cfg.epochs * steps_per_epoch), alpha=cfg.lr_min / cfg.lr)
+    tx = optax.adam(sched)
+    return model, TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+
+def make_steps(apply_fn):
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x, y, dropout_key):
+        def loss_fn(params):
+            pred = apply_fn(params, x, deterministic=False,
+                            rngs={"dropout": dropout_key})
+            return jnp.mean((pred - y) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    @jax.jit
+    def eval_step(params, x, y):
+        pred = apply_fn(params, x, deterministic=True)
+        diff = jnp.abs(pred - y)
+        loss = jnp.mean((pred - y) ** 2)
+        pct = diff / (jnp.abs(y) + 1e-8)
+        return loss, diff.mean(), diff.max(), pct.mean(), diff.mean(axis=0)
+
+    return train_step, eval_step
+
+
+def save_checkpoint(ckpt_dir: str, name: str, params) -> str:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path: str, params_like):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), params_like)
+
+
+def train_model(
+    states_dir: str,
+    actions_dir: str,
+    cfg: TrainConfig,
+    max_steps_per_epoch: Optional[int] = None,
+) -> dict:
+    """Full training run; returns summary metrics."""
+    ds = MultiTrajectoryDataset(
+        states_dir, actions_dir, return_type=cfg.return_type,
+        eval_split=cfg.eval_split, state_idxes=cfg.state_idxes, seed=cfg.seed)
+    log = JSONLWriter(cfg.log_path or os.path.join(cfg.ckpt_dir, "metrics.jsonl"))
+    tb = None
+    try:  # TensorBoard parity when available (reference train.py:29-34)
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(os.path.join(cfg.ckpt_dir, "tb"))
+    except Exception:
+        pass
+
+    x0, _ = next(ds.batches(min(cfg.batch_size, len(ds.train_idx)), seed=cfg.seed))
+    steps_per_epoch = max(1, len(ds.train_idx) // cfg.batch_size)
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+    model, state = create_train_state(cfg, x0, steps_per_epoch)
+    train_step, eval_step = make_steps(model.apply)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+
+    best_eval = np.inf
+    best_path = None
+    global_step = 0
+    for epoch in range(cfg.epochs):
+        with Timer() as t_ep:
+            losses = []
+            for i, (x, y) in enumerate(
+                ds.batches(cfg.batch_size, train=True, seed=cfg.seed + epoch)
+            ):
+                if max_steps_per_epoch and i >= max_steps_per_epoch:
+                    break
+                key, sub = jax.random.split(key)
+                state, loss = train_step(state, jnp.asarray(x), jnp.asarray(y), sub)
+                losses.append(float(loss))
+                if tb:
+                    tb.add_scalar("train/loss_step", float(loss), global_step)
+                global_step += 1
+        train_loss = float(np.mean(losses)) if losses else float("nan")
+
+        ev = [eval_step(state.params, jnp.asarray(x), jnp.asarray(y))
+              for x, y in ds.batches(cfg.batch_size, train=False)]
+        if ev:
+            eval_loss = float(np.mean([float(e[0]) for e in ev]))
+            mean_abs = float(np.mean([float(e[1]) for e in ev]))
+            max_abs = float(np.max([float(e[2]) for e in ev]))
+            mean_pct = float(np.mean([float(e[3]) for e in ev]))
+            col_diff = np.mean([np.asarray(e[4]) for e in ev], axis=0)
+        else:
+            eval_loss, mean_abs, max_abs, mean_pct = train_loss, 0.0, 0.0, 0.0
+            col_diff = np.zeros(1)
+
+        log.write(kind="epoch", epoch=epoch, train_loss=train_loss,
+                  eval_loss=eval_loss, mean_abs=mean_abs, max_abs=max_abs,
+                  mean_pct=mean_pct, seconds=t_ep.seconds)
+        if tb:
+            tb.add_scalar("train/loss", train_loss, epoch)
+            tb.add_scalar("eval/loss", eval_loss, epoch)
+            tb.add_scalar("eval/mean_abs", mean_abs, epoch)
+            tb.add_scalar("eval/max_abs", max_abs, epoch)
+            for c, v in enumerate(col_diff):
+                tb.add_scalar(f"eval/col_{c}_abs", float(v), epoch)
+
+        if eval_loss < best_eval:
+            best_eval = eval_loss
+            best_path = save_checkpoint(cfg.ckpt_dir, "model_best", state.params)
+        if cfg.ckpt_every and (epoch + 1) % cfg.ckpt_every == 0:
+            save_checkpoint(cfg.ckpt_dir, f"model_epoch_{epoch + 1}", state.params)
+
+    final_path = save_checkpoint(cfg.ckpt_dir, "model_final", state.params)
+    log.close()
+    return {
+        "best_eval_loss": best_eval,
+        "final_train_loss": train_loss,
+        "best_checkpoint": best_path,
+        "final_checkpoint": final_path,
+        "n_pairs": len(ds),
+        "params": state.params,
+        "model": model,
+    }

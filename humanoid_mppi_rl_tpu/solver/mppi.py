@@ -133,8 +133,13 @@ def rollout_costs(
             return (state, acc), None
 
         ts = jnp.arange(cfg.T)
+        # accumulator dtype must match the cost dtype (which follows the
+        # dynamics state dtype, e.g. f64 in oracle tests) or scan's carry
+        # type check fails
+        leaves = jax.tree_util.tree_leaves(dyn_state)
+        acc_dtype = jnp.result_type(U, leaves[0]) if leaves else U.dtype
         (final_state, acc), _ = jax.lax.scan(
-            body, (dyn_state, jnp.asarray(0.0, dtype=U.dtype)), (U, eps, ts)
+            body, (dyn_state, jnp.asarray(0.0, dtype=acc_dtype)), (U, eps, ts)
         )
         if terminal_fn is not None:
             acc = acc + terminal_fn(final_state, jnp.asarray(cfg.T))
