@@ -42,10 +42,12 @@ class EpisodeRunner:
 
     def __init__(self, task_name: str, seed: int = 0,
                  cost_kwargs_override: Optional[dict] = None,
-                 mppi_override: Optional[dict] = None):
+                 mppi_override: Optional[dict] = None,
+                 use_kernel: bool = False,
+                 block_k: int = 512):
         spec, model, dynamics, running, terminal, init_state, cfg = load_task(task_name)
+        kw = dict(spec.cost_kwargs)
         if cost_kwargs_override:
-            kw = dict(spec.cost_kwargs)
             kw.update(cost_kwargs_override)
             running, terminal = spec.cost_factory(model, **kw)
         if mppi_override:
@@ -55,18 +57,63 @@ class EpisodeRunner:
         self.init_state = init_state
         self.seed = seed
 
-        plan = make_mppi(dynamics, running, cfg, terminal_fn=terminal)
+        if use_kernel:
+            # planning rollouts through the fused Pallas kernel; plant steps
+            # through the scalar path (f32-robust, see dynamics/physics.py)
+            from ..dynamics.physics import make_scalar_plant_dynamics
+            from ..ops.kernel_costs import KERNEL_COSTS
+            from ..solver.kernel_mppi import make_kernel_mppi
 
-        def control_step(ms, plant):
-            action, ms, diag = plan(ms, plant)
+            if spec.kernel_cost is None:
+                raise ValueError(f"task {task_name} has no kernel cost")
+            dynamics = make_scalar_plant_dynamics(model)
+            self.dynamics = dynamics
+            _plan0 = make_kernel_mppi(
+                model, KERNEL_COSTS[spec.kernel_cost], cfg,
+                cost_kwargs=kw, block_k=min(block_k, cfg.K))
+            plan = lambda ms, plant, p: _plan0(ms, plant, params=p)
+        else:
+            _plan1 = make_mppi(dynamics, running, cfg, terminal_fn=terminal)
+            plan = lambda ms, plant, p: _plan1(ms, plant)
+
+        def control_step(ms, plant, params):
+            action, ms, diag = plan(ms, plant, params)
             new_plant = dynamics(plant, action, jnp.asarray(0))
             return action, ms, new_plant, diag
 
-        self.control_step = jax.jit(control_step)
+        self.control_step = jax.jit(
+            lambda ms, plant, params=None: control_step(ms, plant, params))
+        self._plan = plan
+        self.use_kernel = use_kernel
 
     def fresh_controller(self, seed: Optional[int] = None) -> MPPIState:
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         return MPPIState.init(key, self.cfg.T, self.model.nu)
+
+    def _build_chunk_fn(self, chunk, state_row_fn, goal_fn, fall_fn):
+        """Scan `chunk` control steps on device, logging rows/flags into
+        stacked device arrays — ONE host transfer per chunk instead of
+        several per step (host readbacks are expensive, especially through
+        a remote-device tunnel)."""
+        control = self.control_step
+
+        def one(carry, _):
+            ms, plant, params = carry
+            row = (state_row_fn(plant) if state_row_fn
+                   else jnp.concatenate([plant.qpos, plant.qvel]))
+            action, ms2, plant2, _ = control(ms, plant, params)
+            goal = (goal_fn(plant2.qpos) if goal_fn is not None
+                    else jnp.asarray(False))
+            fell = (fall_fn(plant2.qpos) if fall_fn is not None
+                    else jnp.asarray(False))
+            return (ms2, plant2, params), (row, action, plant.time, goal, fell)
+
+        def run_chunk(ms, plant, params):
+            (ms, plant, params), outs = jax.lax.scan(
+                one, (ms, plant, params), None, length=chunk)
+            return ms, plant, outs
+
+        return jax.jit(run_chunk)
 
     def run(
         self,
@@ -77,28 +124,43 @@ class EpisodeRunner:
         goal_fn: Optional[Callable] = None,
         fall_fn: Optional[Callable] = None,
         logger: Optional[TrajectoryLogger] = None,
+        params=None,
+        chunk: int = 50,
     ) -> EpisodeResult:
-        """state_row_fn(plant_state)->np row; goal_fn/fall_fn(qpos)->bool."""
+        """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos jnp)->bool jnp —
+        all evaluated on device (scanned in chunks)."""
         plant = self.init_state if init_state is None else init_state
+        plant = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), plant)
         ms = self.fresh_controller(seed)
+        if params is not None:
+            params = jnp.asarray(params, jnp.float32)
         log = logger if logger is not None else TrajectoryLogger()
+        run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn)
+
         goal = fell = False
         steps = 0
-        for i in range(max_steps):
-            action, ms, new_plant, _ = self.control_step(ms, plant)
-            a_np = np.asarray(action)
-            qpos_np = np.asarray(plant.qpos)
-            row = (state_row_fn(plant) if state_row_fn
-                   else np.concatenate([qpos_np, np.asarray(plant.qvel)]))
-            log.log(row, a_np, float(plant.time))
-            plant = new_plant
-            steps = i + 1
-            qpos_after = np.asarray(plant.qpos)
-            if fall_fn is not None and fall_fn(qpos_after):
-                fell = True
-                break
-            if goal_fn is not None and goal_fn(qpos_after):
-                goal = True
+        while steps < max_steps:
+            n = min(chunk, max_steps - steps)
+            ms, plant, (rows, actions, times, goals, falls) = run_chunk(
+                ms, plant, params)
+            rows = np.asarray(rows)
+            actions = np.asarray(actions)
+            times = np.asarray(times)
+            goals = np.asarray(goals)
+            falls = np.asarray(falls)
+            # find first termination inside the chunk
+            stop = n
+            for i in range(n):
+                if falls[i]:
+                    fell, stop = True, i + 1
+                    break
+                if goals[i]:
+                    goal, stop = True, i + 1
+                    break
+            for i in range(stop):
+                log.log(rows[i], actions[i], float(times[i]))
+            steps += stop
+            if goal or fell:
                 break
         return EpisodeResult(
             steps=steps, goal_reached=goal, fell=fell,
@@ -137,45 +199,54 @@ def collect_humanoid(
     shard_index: int = 0,
     num_shards: int = 1,
     task_name: str = "humanoid_collect",
+    use_kernel: bool = False,
+    mppi_override: Optional[dict] = None,
 ):
     """Goal-gated humanoid episode collection. `shard_index`/`num_shards`
     shard episodes across processes/hosts (replacing the 150-run sequential
-    reference src/run.sh) — episode i runs on shard i % num_shards."""
+    reference src/run.sh) — episode i runs on shard i % num_shards. With
+    use_kernel=True the per-episode goal is a runtime kernel parameter, so
+    the compiled controller is reused across all episodes."""
     from ..physics import forward
 
     results = []
-    runner = None
+    cost_kw = {"param_target": True} if use_kernel else None
+    runner = EpisodeRunner(task_name, use_kernel=use_kernel,
+                           cost_kwargs_override=cost_kw,
+                           mppi_override=mppi_override)
+    model = runner.model
+    id_l = model.body_id("foot_left")
+    id_r = model.body_id("foot_right")
+
     for ep in range(n_episodes):
         if ep % num_shards != shard_index:
             continue
         rng = np.random.default_rng(seed + ep * 7919)
-        if runner is None:
-            runner = EpisodeRunner(task_name)
-        model = runner.model
         goal = random_humanoid_goal(rng)
-        running, terminal = runner.spec.cost_factory(model, target=tuple(goal))
-        # rebuild the controller with this episode's goal
-        runner = EpisodeRunner(task_name,
-                               cost_kwargs_override={"target": tuple(goal)})
+        if not use_kernel:
+            # jnp-cost path: goal baked in, recompiles per episode
+            runner = EpisodeRunner(task_name,
+                                   cost_kwargs_override={"target": tuple(goal)},
+                                   mppi_override=mppi_override)
         qpos, qvel = randomize_humanoid_pose(model, rng)
-        init = forward(model, jnp.asarray(qpos), jnp.asarray(qvel))
-
-        id_l = model.body_id("foot_left")
-        id_r = model.body_id("foot_right")
+        init = forward(model, jnp.asarray(qpos, jnp.float32),
+                       jnp.asarray(qvel, jnp.float32))
+        goal_j = jnp.asarray(goal, jnp.float32)
 
         def state_row(st):
-            return np.concatenate([
-                np.asarray(st.qpos), np.asarray(st.qvel),
-                [float(st.xpos[id_l, 2]), float(st.xpos[id_r, 2])],
+            # 57-col layout (reference src/Humanoid_datacollection_v2.jl:70-81)
+            return jnp.concatenate([
+                st.qpos, st.qvel,
+                st.xpos[id_l, 2][None], st.xpos[id_r, 2][None],
             ])
 
-        def goal_fn(qpos_np):
-            xy = np.linalg.norm(qpos_np[0:2] - goal[0:2])
-            return xy < goal_threshold and abs(qpos_np[2] - goal[2]) < 0.1
+        def goal_fn(qpos):
+            xy = jnp.linalg.norm(qpos[0:2] - goal_j[0:2])
+            return (xy < goal_threshold) & (jnp.abs(qpos[2] - goal_j[2]) < 0.1)
 
         res = runner.run(max_steps=max_steps, init_state=init,
                          seed=seed + ep, state_row_fn=state_row,
-                         goal_fn=goal_fn)
+                         goal_fn=goal_fn, params=goal_j if use_kernel else None)
         if save and res.goal_reached:
             # reference saves ONLY successful episodes (:268-275)
             res.logger.save_split_dirs(out_dir)
@@ -206,13 +277,14 @@ def collect_quadruped(
         goal_xy = (i + 2.0, 0.0)
         runner = EpisodeRunner("go1_collect",
                                cost_kwargs_override={"goal_xy": goal_xy})
+        goal_j = jnp.asarray(goal_xy, jnp.float32)
 
-        def goal_fn(qpos_np):
-            dist = np.linalg.norm(qpos_np[0:2] - np.asarray(goal_xy))
-            return dist < goal_tolerance or qpos_np[0] >= goal_xy[0]
+        def goal_fn(qpos):
+            dist = jnp.linalg.norm(qpos[0:2] - goal_j)
+            return (dist < goal_tolerance) | (qpos[0] >= goal_j[0])
 
-        def fall_fn(qpos_np):
-            return qpos_np[2] < fall_z
+        def fall_fn(qpos):
+            return qpos[2] < fall_z
 
         res = runner.run(max_steps=max_steps, seed=seed + i,
                          goal_fn=goal_fn, fall_fn=fall_fn)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from .base import body_com_linvel, quat_rpy
 
 
-def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)):
+def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0), **_unused):
     id_shin_l = model.body_id("shin_left")
     id_shin_r = model.body_id("shin_right")
     id_foot_l = model.body_id("foot_left")

@@ -18,7 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def make_costs(model, goal_xy=(2.0, 0.0)):
+def make_costs(model, goal_xy=(2.0, 0.0), **_unused):
     goal = jnp.asarray(goal_xy)
 
     # weights: reference src/quadruped_datacollection.py:66-80

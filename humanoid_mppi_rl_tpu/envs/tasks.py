@@ -45,6 +45,7 @@ class TaskSpec:
     init_keyframe: Optional[str] = None
     clamp_ctrl_to_range: bool = False  # clip to actuator ctrlrange (go1 scripts)
     ctrl_clamp_abs: Optional[float] = None  # e.g. +-10 in src/mppi.jl:93
+    kernel_cost: Optional[str] = None  # ops.kernel_costs.KERNEL_COSTS key
 
     def asset_path(self) -> str:
         return os.path.join(ASSET_DIR, self.asset)
@@ -54,7 +55,7 @@ def _mk(name, asset, cost_factory, K, T, lam, sigma, tail=0.1, terminal_scale=0.
         **kw):
     extra = {k: kw.pop(k) for k in list(kw) if k in (
         "cost_kwargs", "init_qpos", "init_keyframe", "clamp_ctrl_to_range",
-        "ctrl_clamp_abs")}
+        "ctrl_clamp_abs", "kernel_cost")}
     cfg = MPPIConfig(n_samples=K, horizon=T, temperature=lam, sigma=sigma,
                      tail_decay=tail, terminal_scale=terminal_scale, **kw)
     return TaskSpec(name=name, asset=asset, mppi=cfg, cost_factory=cost_factory,
@@ -65,23 +66,27 @@ TASKS = {
     t.name: t
     for t in [
         _mk("cartpole", "cartpole.xml", cartpole_cost.make_costs,
-            K=30, T=100, lam=1.0, sigma=1.0, init_qpos=(0.0, np.pi)),
+            K=30, T=100, lam=1.0, sigma=1.0, init_qpos=(0.0, np.pi),
+            kernel_cost="cartpole"),
         _mk("cartpole_collect", "cartpole.xml", cartpole_cost.make_costs,
-            K=75, T=100, lam=1.0, sigma=0.75, init_qpos=(0.0, np.pi)),
+            K=75, T=100, lam=1.0, sigma=0.75, init_qpos=(0.0, np.pi),
+            kernel_cost="cartpole"),
         _mk("humanoid", "humanoid.xml", humanoid_cost.make_costs_v1,
             K=50, T=100, lam=1.0, sigma=1.0),
         _mk("humanoid_v3", "humanoid.xml", humanoid_cost.make_costs,
-            K=30, T=75, lam=1.0, sigma=0.75),
+            K=30, T=75, lam=1.0, sigma=0.75, kernel_cost="humanoid"),
         _mk("humanoid_collect", "humanoid.xml", humanoid_cost.make_costs,
-            K=50, T=100, lam=1.0, sigma=0.5),
+            K=50, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
         _mk("go1", "go1.xml", quadruped_cost.make_costs_mppi_jl,
             K=50, T=30, lam=0.2, sigma=0.3, tail=0.0,
-            init_keyframe="home", ctrl_clamp_abs=10.0),
+            init_keyframe="home", ctrl_clamp_abs=10.0,
+            kernel_cost="quadruped_jl"),
         _mk("go1_collect", "go1.xml", quadruped_cost.make_costs,
             K=50, T=30, lam=0.2, sigma=0.3, tail=0.0,
-            init_keyframe="home", clamp_ctrl_to_range=True),
+            init_keyframe="home", clamp_ctrl_to_range=True,
+            kernel_cost="quadruped"),
         _mk("hopper", "hopper.xml", hopper_cost.make_costs,
-            K=64, T=50, lam=0.5, sigma=0.6),
+            K=64, T=50, lam=0.5, sigma=0.6, kernel_cost="hopper"),
     ]
 }
 

@@ -1,0 +1,208 @@
+"""Scalar-SoA task costs for the Pallas rollout kernel.
+
+Same formulas as costs/* (which operate on PhysicsState arrays and remain
+the oracle these are tested against), re-expressed over StepContext scalar
+views so they fuse into the rollout mega-kernel. Each factory returns
+(running(ctx, t) -> (B,), terminal(ctx) -> (B,)) with ctrl read from ctx.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.model import PhysicsModel
+from .scalar_physics import StepContext, add3, cross, dot3, qmat, sub3
+
+
+from .kernel_math import asin as _asin
+from .kernel_math import atan2 as _atan2
+
+
+def _rpy(q):
+    w, x, y, z = q
+    roll = _atan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+    pitch = _asin(2 * (w * y - z * x))
+    yaw = _atan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+    return roll, pitch, yaw
+
+
+def _sumsq(xs):
+    acc = 0.0
+    for x in xs:
+        acc = acc + x * x
+    return acc
+
+
+def cartpole(model: PhysicsModel):
+    """reference src/cartpole_mppi.py:44-53 (see costs/cartpole.py)."""
+
+    def running_vals(x_pos, theta, x_vel, theta_vel, u):
+        return (
+            1.0 * x_pos**2
+            + 20.0 * (jnp.cos(theta) - 1.0) ** 2
+            + 0.1 * x_vel**2
+            + 0.1 * theta_vel**2
+            + 0.01 * _sumsq(u)
+        )
+
+    def running(ctx: StepContext, t):
+        return running_vals(ctx.qpos[0], ctx.qpos[1], ctx.qvel[0], ctx.qvel[1],
+                            ctx.ctrl)
+
+    def terminal(ctx: StepContext):
+        return 10.0 * running_vals(ctx.qpos[0], ctx.qpos[1], ctx.qvel[0],
+                                   ctx.qvel[1], [0.0])
+
+    return running, terminal
+
+
+def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
+             param_target: bool = False):
+    """reference src/Humanoid_datacollection_v2.jl:90-160 (see costs/humanoid.py).
+
+    param_target=True reads the goal from ctx.params[0:3] at runtime (no
+    recompile per collection episode)."""
+    id_shin_l = model.body_id("shin_left")
+    id_shin_r = model.body_id("shin_right")
+    id_foot_l = model.body_id("foot_left")
+    id_foot_r = model.body_id("foot_right")
+    tx0, ty0, tz0 = [float(v) for v in target]
+    tvx, tvy = [float(v) for v in target_vel]
+
+    def _run(ctx: StepContext, u):
+        if param_target:
+            tx, ty, tz = ctx.params[0], ctx.params[1], ctx.params[2]
+        else:
+            tx, ty, tz = tx0, ty0, tz0
+        q = ctx.qpos
+        rx, ry, rz = q[0], q[1], q[2]
+        roll, pitch, yaw = _rpy((q[3], q[4], q[5], q[6]))
+        cost = 5.0 * (roll * roll + pitch * pitch) + 0.075 * yaw * yaw
+
+        dx, dy = rx - tx, ry - ty
+        cost = cost + 12.5 * jnp.sqrt(dx * dx + dy * dy + 1e-12)
+        cost = cost + 5.0 * jnp.abs(tz - rz)
+        vx, vy = ctx.qvel[0] - tvx, ctx.qvel[1] - tvy
+        cost = cost + 1.0 * jnp.sqrt(vx * vx + vy * vy + 1e-12)
+
+        vxl = ctx.body_com_linvel(model, id_shin_l)[0]
+        vxr = ctx.body_com_linvel(model, id_shin_r)[0]
+        left = (vxl > vxr).astype(rx.dtype)
+
+        def sel(a, b):
+            return left * a + (1.0 - left) * b
+
+        foot_tx = rx + 0.5
+        fl, fr = ctx.xpos[id_foot_l], ctx.xpos[id_foot_r]
+        swing_x = sel(fl[0], fr[0])
+        swing_z = sel(fl[2], fr[2])
+        stance_z = sel(fr[2], fl[2])
+        cost = cost + 8.0 * jnp.abs(swing_x - foot_tx)
+
+        vfl = ctx.body_com_linvel(model, id_foot_l)[0]
+        vfr = ctx.body_com_linvel(model, id_foot_r)[0]
+        cost = cost - 0.15 * sel(vfl, vfr)
+
+        knee_x = sel(ctx.xpos[id_shin_l][0], ctx.xpos[id_shin_r][0])
+        cost = cost + 3.0 * (knee_x - foot_tx) ** 2
+
+        clearance = swing_z - stance_z
+        cost = cost + jnp.where(clearance < 0.05, 2.0 * clearance**2, 0.0)
+        leg_cl = fl[1] - fr[1]
+        cost = cost + jnp.where(leg_cl < 0.0, 0.5 * leg_cl**2, 0.0)
+        cost = cost + 0.01 * _sumsq(u)
+        return cost
+
+    def running(ctx, t):
+        return _run(ctx, ctx.ctrl)
+
+    def terminal(ctx):
+        return 10.0 * _run(ctx, [0.0] * model.nu)
+
+    return running, terminal
+
+
+def quadruped(model: PhysicsModel, goal_xy=(2.0, 0.0), param_goal: bool = False):
+    """reference src/quadruped_datacollection.py:57-138 verbatim, including
+    its indexing quirks (see costs/quadruped.py docstring)."""
+    gx0, gy0 = [float(v) for v in goal_xy]
+
+    def running(ctx: StepContext, t):
+        gx, gy = (ctx.params[0], ctx.params[1]) if param_goal else (gx0, gy0)
+        q, v, u = ctx.qpos, ctx.qvel, ctx.ctrl
+        time = ctx.time
+        phase = (time % 0.5) / 0.5 * 2 * np.pi
+        trot = jnp.sin(phase)
+        target_vel_x = 0.9 + 0.1 * jnp.sin(phase)
+
+        FL_calf, FR_calf, RL_calf, RR_calf = q[2], q[5], q[8], q[11]
+        cost = 500.0 * (q[2] - 0.4) ** 2
+        cost = cost + 30000.0 * (v[0] - target_vel_x) ** 2
+        cost = cost + 500.0 * (q[6] ** 2 + q[7] ** 2)
+        cost = cost + 20.0 * _sumsq(v[6:9])
+        cost = cost + 50000.0 * (q[1] ** 2 + v[1] ** 2)
+        cost = cost + 0.01 * _sumsq(u)
+        cost = cost + 3000.0 * ((q[0] - gx) ** 2 + (q[1] - gy) ** 2)
+        f1 = (FL_calf - RR_calf) * trot
+        f2 = (FR_calf - RL_calf) * (-trot)
+        cost = cost + 34000.0 * (f1 * f1 + f2 * f2)
+        cost = cost - 4400.0 * (u[1] ** 2 + u[4] ** 2)
+        cost = cost + 4400.0 * (u[2] ** 2 + u[5] ** 2)
+        cost = cost - 10000.0 * (u[7] ** 2 + u[10] ** 2)
+        cost = cost + 10000.0 * (u[8] ** 2 + u[11] ** 2)
+        nk = 0.5
+        cost = cost + 2000.0 * ((FL_calf - nk) ** 2 + (FR_calf - nk) ** 2
+                                + (RL_calf - nk) ** 2 + (RR_calf - nk) ** 2)
+        cost = cost + 5.0 * _sumsq(q[0:12])
+        return cost
+
+    def terminal(ctx):
+        return jnp.zeros_like(ctx.qpos[0])
+
+    return running, terminal
+
+
+def quadruped_jl(model: PhysicsModel, target_vel_x=0.5):
+    """reference src/mppi.jl:18-62 (see costs/quadruped.make_costs_mppi_jl)."""
+
+    def running(ctx: StepContext, t):
+        q, v, u = ctx.qpos, ctx.qvel, ctx.ctrl
+        cost = 1.0 * (v[0] - target_vel_x) ** 2 + 2.0 * v[1] ** 2
+        roll, pitch, _ = _rpy((q[3], q[4], q[5], q[6]))
+        cost = cost + 2.0 * (roll * roll + pitch * pitch)
+        cost = cost + 0.1 * _sumsq(v[6:])
+        cost = cost + 0.01 * _sumsq(u)
+        return cost
+
+    def terminal(ctx):
+        return jnp.zeros_like(ctx.qpos[0])
+
+    return running, terminal
+
+
+def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0):
+    """see costs/hopper.py (new task)."""
+
+    def running(ctx: StepContext, t):
+        q, v, u = ctx.qpos, ctx.qvel, ctx.ctrl
+        cost = 2.0 * (v[0] - target_vel_x) ** 2
+        cost = cost + 5.0 * jnp.maximum(target_height - 0.4 - q[1] - 1.0, 0.0) ** 2
+        cost = cost + 1.0 * q[2] ** 2 + 0.1 * v[2] ** 2
+        cost = cost + 0.01 * _sumsq(u)
+        return cost
+
+    def terminal(ctx):
+        return 10.0 * running(ctx, 0)
+
+    return running, terminal
+
+
+KERNEL_COSTS = {
+    "cartpole": cartpole,
+    "humanoid": humanoid,
+    "quadruped": quadruped,
+    "quadruped_jl": quadruped_jl,
+    "hopper": hopper,
+}

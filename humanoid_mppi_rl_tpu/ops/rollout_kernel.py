@@ -1,0 +1,136 @@
+"""Fused MPPI rollout mega-kernel.
+
+One `pl.pallas_call` evaluates ALL T horizon steps of B samples: physics
+(scalar_physics.scalar_step — FK, CRBA, contacts, sparse Cholesky), control
+clamping, and the task cost, entirely in VMEM/vregs. HBM traffic per rollout
+block is just: initial state in, noise stream in, costs (+ final state) out.
+This replaces the array-engine rollout path that cost ~60 ms/step at K=8192
+in launch overhead and HBM round-trips (the array engine stays as the
+semantic oracle and the plant-stepping path).
+
+Layout: sample-major-last — arrays are (field, K) so the MPPI sample axis is
+the TPU lane axis; the kernel grid tiles K into blocks of `block_k` lanes.
+
+reference parity: this computes exactly the K x T rollout loops of
+src/cartpole_mppi.py:59-85 / src/Humanoid_datacollection_v2.jl:167-185 with
+costs accumulated on post-step states.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..physics.model import PhysicsModel
+from . import scalar_physics as sph
+
+
+def build_rollout_kernel(
+    model: PhysicsModel,
+    cost_factory: Callable,
+    horizon: int,
+    block_k: int = 512,
+    ctrl_low: Optional[np.ndarray] = None,
+    ctrl_high: Optional[np.ndarray] = None,
+    terminal: bool = True,
+    cost_kwargs: Optional[dict] = None,
+    interpret: bool = False,
+):
+    """Returns rollouts(qpos0 (nq,K), qvel0 (nv,K), time0 (1,K), U (T,nu),
+    noise (T,nu,K)) -> costs (K,).
+
+    cost_factory: ops.kernel_costs factory -> (running(ctx,t), terminal(ctx)).
+    """
+    nq, nv, nu = model.nq, model.nv, model.nu
+    T = horizon
+    running_cost, terminal_cost = cost_factory(model, **(cost_kwargs or {}))
+    h = model.timestep
+    NP = 8  # runtime cost-parameter slots (e.g. episode goal), fixed width
+
+    clo = None if ctrl_low is None else [float(x) for x in ctrl_low]
+    chi = None if ctrl_high is None else [float(x) for x in ctrl_high]
+
+    def kernel(qpos_ref, qvel_ref, t0_ref, U_ref, noise_ref, params_ref,
+               cost_ref, qpos_out_ref, qvel_out_ref):
+        qpos = [qpos_ref[i, :] for i in range(nq)]
+        qvel = [qvel_ref[i, :] for i in range(nv)]
+        t0 = t0_ref[0, :]
+        params = [params_ref[0, i] for i in range(NP)]
+        fwd = sph.scalar_forward(model, qpos, qvel)
+        zero = jnp.zeros_like(qpos[0])
+
+        def make_ctx(fwd2, qpos2, qvel2, u, time):
+            ctx = sph.ctx_from(model, fwd2, qpos2, qvel2, u, time)
+            ctx.params = params
+            return ctx
+
+        def body(t, carry):
+            qpos, qvel, fwd, cost = carry
+            u = []
+            for i in range(nu):
+                ui = U_ref[t, i] + noise_ref[t, i, :]
+                if clo is not None:
+                    ui = jnp.clip(ui, clo[i], chi[i])
+                u.append(ui)
+            time = t0 + t.astype(t0.dtype) * h
+            qpos2, qvel2, _ = sph.scalar_step(model, qpos, qvel, u, time, fwd=fwd)
+            fwd2 = sph.scalar_forward(model, qpos2, qvel2)
+            ctx = make_ctx(fwd2, qpos2, qvel2, u, time + h)
+            cost = cost + running_cost(ctx, t)
+            return (qpos2, qvel2, fwd2, cost)
+
+        qpos, qvel, fwd, cost = jax.lax.fori_loop(
+            0, T, body, (qpos, qvel, fwd, zero))
+
+        if terminal:
+            ctx = make_ctx(fwd, qpos, qvel, [0.0] * nu, t0 + T * h)
+            cost = cost + terminal_cost(ctx)
+
+        cost_ref[0, :] = cost
+        for i in range(nq):
+            qpos_out_ref[i, :] = qpos[i]
+        for i in range(nv):
+            qvel_out_ref[i, :] = qvel[i]
+
+    def rollouts(qpos0, qvel0, time0, U, noise, params=None):
+        K = qpos0.shape[-1]
+        assert K % block_k == 0, (K, block_k)
+        if params is None:
+            params = jnp.zeros((1, NP), qpos0.dtype)
+        else:
+            params = jnp.asarray(params, qpos0.dtype).reshape(1, -1)
+            params = jnp.pad(params, ((0, 0), (0, NP - params.shape[1])))
+        grid = (K // block_k,)
+        out_shapes = (
+            jax.ShapeDtypeStruct((1, K), qpos0.dtype),
+            jax.ShapeDtypeStruct((nq, K), qpos0.dtype),
+            jax.ShapeDtypeStruct((nv, K), qpos0.dtype),
+        )
+        costs, qpos_f, qvel_f = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((nq, block_k), lambda k: (0, k)),
+                pl.BlockSpec((nv, block_k), lambda k: (0, k)),
+                pl.BlockSpec((1, block_k), lambda k: (0, k)),
+                pl.BlockSpec((T, nu), lambda k: (0, 0)),
+                pl.BlockSpec((T, nu, block_k), lambda k: (0, 0, k)),
+                pl.BlockSpec((1, NP), lambda k: (0, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, block_k), lambda k: (0, k)),
+                pl.BlockSpec((nq, block_k), lambda k: (0, k)),
+                pl.BlockSpec((nv, block_k), lambda k: (0, k)),
+            ),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(qpos0, qvel0, time0, U, noise, params)
+        return costs[0], qpos_f, qvel_f
+
+    return rollouts

@@ -1,0 +1,129 @@
+"""Mesh-parallel MPPI: shard the K sample axis across chips.
+
+The reference's only rollout parallelism is CPU threads on one machine
+(SURVEY.md §2.4); the TPU-native scale-out axis is K (samples per replan) —
+and episodes for collection. Design (SURVEY.md §5 "distributed backend"):
+
+- a 1-D device mesh over the `k` axis (multi-host: jax.distributed makes
+  all pod chips visible; the same code spans hosts over ICI/DCN);
+- inside `shard_map`, each shard draws its own noise (per-shard folded PRNG
+  key -> deterministic regardless of sharding), vmaps K_local rollouts, and
+  computes local cost sums;
+- cross-chip communication is exactly three scalars-ish payloads per replan:
+  beta = pmin(costs), normalizer = psum(sum_local w), weighted noise sum
+  = psum((T, nu)-sized partial) — all O(T*nu), latency-bound on ICI, tiny
+  compared to the rollout compute they amortize.
+
+Weak-scaling: doubling chips doubles K at constant replan latency (the
+reduction payload is K-independent).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from ..solver.mppi import (
+    MPPIConfig,
+    MPPIDiagnostics,
+    MPPIState,
+    _clip_ctrl,
+    rollout_costs,
+    shift_plan,
+)
+
+try:
+    shard_map = jax.shard_map  # jax >= 0.8
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "k") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.asarray(devs[:n]), (axis,))
+
+
+def sharded_update_op(mesh: Mesh, cfg: MPPIConfig, axis: str = "k"):
+    """Returns f(costs_local, noise_local) -> (update, (w_local, beta)) for
+    use INSIDE shard_map: psum/pmin-reduced exponential weighting."""
+
+    def op(costs, noise):
+        beta = jax.lax.pmin(jnp.min(costs), axis)
+        w = jnp.exp(-(costs - beta) / cfg.temperature)
+        norm = jax.lax.psum(jnp.sum(w), axis) + cfg.weight_eps
+        update = jax.lax.psum(jnp.einsum("k,ktu->tu", w, noise), axis) / norm
+        return update, (w / norm, beta)
+
+    return op
+
+
+def make_sharded_mppi(
+    dynamics_fn: Callable,
+    cost_fn: Callable,
+    cfg: MPPIConfig,
+    mesh: Mesh,
+    terminal_fn: Optional[Callable] = None,
+    axis: str = "k",
+):
+    """Sharded analog of solver.mppi.make_mppi: same semantics, K sharded
+    over `mesh`. K must divide evenly by the axis size."""
+    n_shards = mesh.shape[axis]
+    if cfg.K % n_shards:
+        raise ValueError(f"K={cfg.K} not divisible by mesh axis size {n_shards}")
+    k_local = cfg.K // n_shards
+    local_cfg = dataclasses.replace(cfg, n_samples=k_local)
+    update_op = sharded_update_op(mesh, cfg, axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=(P(), P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def _sharded_plan_body(U, dyn_state_leaves, shard_keys):
+        dyn_state = dyn_state_leaves  # pytree passes through shard_map
+        key = shard_keys[0]
+        sigma = jnp.asarray(cfg.sigma, dtype=U.dtype)
+        noise = sigma * jax.random.normal(key, (k_local, cfg.T, U.shape[-1]),
+                                          dtype=U.dtype)
+        costs = rollout_costs(dynamics_fn, cost_fn, terminal_fn, local_cfg,
+                              dyn_state, U, noise)
+        update, (w, beta) = update_op(costs, noise)
+        mean_cost = jax.lax.pmean(jnp.mean(costs), axis)
+        ess = 1.0 / jax.lax.psum(jnp.sum(w * w), axis)
+        return update, beta, mean_cost, ess, jnp.sum(w)
+
+    def plan(mppi_state: MPPIState, dyn_state: Any):
+        key, sub = jax.random.split(mppi_state.key)
+        # one folded key per shard -> deterministic w.r.t. mesh size only
+        shard_keys = jax.vmap(lambda i: jax.random.fold_in(sub, i))(
+            jnp.arange(n_shards, dtype=jnp.uint32))
+        U = mppi_state.U
+        update, beta, mean_cost, ess, _ = _sharded_plan_body(
+            U, dyn_state, shard_keys)
+
+        if cfg.update_mode == "replace":
+            U_new = update
+        else:
+            U_new = U + update
+        if cfg.clamp_plan:
+            U_new = _clip_ctrl(U_new, cfg)
+        action = _clip_ctrl(U_new[0], cfg)
+        U_shifted = shift_plan(U_new, cfg.tail_decay)
+        diag = MPPIDiagnostics(
+            beta=beta, mean_cost=mean_cost, ess=ess,
+            weight_entropy=jnp.asarray(0.0, U.dtype),
+            update_norm=jnp.linalg.norm(update),
+        )
+        return action, MPPIState(U=U_shifted, key=key), diag
+
+    return plan

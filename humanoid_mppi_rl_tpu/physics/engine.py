@@ -164,8 +164,12 @@ def mass_matrix(model: PhysicsModel, S: jax.Array, I: jax.Array) -> jax.Array:
     """Joint-space mass matrix (nv, nv)."""
     dtype = S.dtype
     A = jnp.asarray(model.ancestor_mask, dtype)          # (nbody, nv)
-    G = jnp.einsum("ni,bij,mj->bnm", S, I, S)            # (nbody, nv, nv)
-    M = jnp.einsum("bn,bm,bnm->nm", A, A, G)
+    # masked body jacobians J_b = diag(A_b) S: contraction via (b,nv,6)
+    # intermediates only — never materializes a (nbody, nv, nv) tensor,
+    # which matters under vmap(K=8192) on TPU HBM
+    J = A[:, :, None] * S[None, :, :]                    # (nbody, nv, 6)
+    JI = jnp.einsum("bni,bij->bnj", J, I)
+    M = jnp.einsum("bnj,bmj->nm", JI, J)
     return M + jnp.diag(jnp.asarray(model.dof_armature, dtype))
 
 

@@ -1,0 +1,87 @@
+"""MPPI planner backed by the fused Pallas rollout kernel.
+
+Same update semantics as solver.mppi.make_mppi (weights, accumulate/replace,
+clamping, shift — reference src/cartpole_mppi.py:88-107) but the K x T
+rollout+cost evaluation runs as ops/rollout_kernel's single mega-kernel:
+~74x faster than the vmapped array engine at K=8192 x H=64 on a v5e chip.
+
+The plant keeps using the array engine (exact, one sample); only the
+planning rollouts go through the kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.rollout_kernel import build_rollout_kernel
+from ..physics import PhysicsState
+from ..physics.model import PhysicsModel
+from .mppi import MPPIConfig, MPPIDiagnostics, MPPIState, _clip_ctrl, shift_plan
+
+
+def make_kernel_mppi(
+    model: PhysicsModel,
+    kernel_cost_factory: Callable,
+    cfg: MPPIConfig,
+    cost_kwargs: Optional[dict] = None,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """plan(mppi_state, plant_state: PhysicsState) -> (action, state', diag)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bk = min(block_k, cfg.K)
+    if cfg.K % bk:
+        raise ValueError(f"K={cfg.K} not divisible by block_k={bk}")
+
+    ctrl_low = None if cfg.ctrl_low is None else np.asarray(cfg.ctrl_low)
+    ctrl_high = None if cfg.ctrl_high is None else np.asarray(cfg.ctrl_high)
+    rollouts = build_rollout_kernel(
+        model, kernel_cost_factory, cfg.T, block_k=bk,
+        ctrl_low=ctrl_low if cfg.clamp_rollout_ctrl else None,
+        ctrl_high=ctrl_high if cfg.clamp_rollout_ctrl else None,
+        cost_kwargs=cost_kwargs, interpret=interpret,
+    )
+
+    def plan(mppi_state: MPPIState, plant: PhysicsState, params=None):
+        key, sub = jax.random.split(mppi_state.key)
+        U = mppi_state.U
+        dtype = U.dtype
+        sigma = jnp.asarray(cfg.sigma, dtype)
+        noise = sigma * jax.random.normal(sub, (cfg.T, model.nu, cfg.K), dtype)
+
+        qpK = jnp.broadcast_to(plant.qpos.astype(dtype)[:, None], (model.nq, cfg.K))
+        qvK = jnp.broadcast_to(plant.qvel.astype(dtype)[:, None], (model.nv, cfg.K))
+        t0 = jnp.broadcast_to(plant.time.astype(dtype), (1, cfg.K))
+        costs, _, _ = rollouts(qpK, qvK, t0, U, noise, params=params)
+
+        beta = jnp.min(costs)
+        w = jnp.exp(-(costs - beta) / cfg.temperature)
+        norm = jnp.sum(w) + cfg.weight_eps
+        w = w / norm
+        update = jnp.einsum("tuk,k->tu", noise, w)
+
+        if cfg.update_mode == "replace":
+            U_new = update
+        else:
+            U_new = U + update
+        if cfg.clamp_plan:
+            U_new = _clip_ctrl(U_new, cfg)
+        action = _clip_ctrl(U_new[0], cfg)
+        U_shifted = shift_plan(U_new, cfg.tail_decay)
+
+        diag = MPPIDiagnostics(
+            beta=beta,
+            mean_cost=jnp.mean(costs),
+            ess=1.0 / jnp.sum(w * w),
+            weight_entropy=-jnp.sum(w * jnp.where(w > 0, jnp.log(w + 1e-30), 0.0)),
+            update_norm=jnp.linalg.norm(update),
+        )
+        return action, MPPIState(U=U_shifted, key=key), diag
+
+    return plan

@@ -133,11 +133,13 @@ def rollout_costs(
             return (state, acc), None
 
         ts = jnp.arange(cfg.T)
-        # accumulator dtype must match the cost dtype (which follows the
-        # dynamics state dtype, e.g. f64 in oracle tests) or scan's carry
-        # type check fails
-        leaves = jax.tree_util.tree_leaves(dyn_state)
-        acc_dtype = jnp.result_type(U, leaves[0]) if leaves else U.dtype
+        # accumulator dtype must match the cost dtype exactly (weak-typing
+        # and x64 promotion make this hard to predict) or scan's carry type
+        # check fails — so ask the tracer
+        acc_dtype = jax.eval_shape(
+            lambda s, u, t: cost_fn(dynamics_fn(s, u, t), u, t),
+            dyn_state, U[0] + eps[0], ts[0],
+        ).dtype
         (final_state, acc), _ = jax.lax.scan(
             body, (dyn_state, jnp.asarray(0.0, dtype=acc_dtype)), (U, eps, ts)
         )

@@ -1,0 +1,86 @@
+"""Mesh-sharded MPPI tests on the virtual 8-device CPU mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8, set in conftest — the
+standard stand-in for multi-chip TPU hardware, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from humanoid_mppi_rl_tpu.parallel.mesh import make_mesh, make_sharded_mppi
+from humanoid_mppi_rl_tpu.solver.mppi import (
+    MPPIConfig,
+    MPPIState,
+    mppi_weights,
+    rollout_costs,
+    weighted_noise_update,
+)
+
+
+def _dyn(state, u, t):
+    pos, vel = state
+    vel = vel + 0.1 * u[0]
+    pos = pos + 0.1 * vel
+    return (pos, vel)
+
+
+def _cost(state, u, t):
+    pos, vel = state
+    return (pos - 1.0) ** 2 + 0.1 * vel**2 + 0.001 * u[0] ** 2
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+def test_sharded_matches_manual_reduction(mesh8):
+    """The psum-reduced update must equal the plain computation on the
+    concatenated per-shard noise."""
+    cfg = MPPIConfig(n_samples=64, horizon=12, temperature=0.5, sigma=0.4)
+    plan = make_sharded_mppi(_dyn, _cost, cfg, mesh8)
+    key = jax.random.PRNGKey(42)
+    ms = MPPIState.init(key, cfg.T, nu=1)
+    state = (jnp.asarray(0.0), jnp.asarray(0.0))
+    action, ms2, diag = plan(ms, state)
+
+    # rebuild the exact noise the sharded plan drew (per-shard folded keys)
+    _, sub = jax.random.split(key)
+    noise = []
+    for i in range(8):
+        k = jax.random.fold_in(sub, jnp.uint32(i))
+        # must draw with the plan's dtype (U is f32) — the normal stream
+        # differs per dtype
+        noise.append(cfg.sigma * jax.random.normal(k, (8, cfg.T, 1),
+                                                   dtype=jnp.float32))
+    noise = jnp.concatenate(noise)
+    costs = rollout_costs(_dyn, _cost, None, cfg, state, ms.U, noise)
+    w, beta = mppi_weights(costs, cfg.temperature)
+    expected_U = ms.U + weighted_noise_update(w, noise)
+    np.testing.assert_allclose(np.asarray(action), np.asarray(expected_U[0]),
+                               rtol=1e-5, atol=1e-7)
+    assert abs(float(diag.beta) - float(beta)) < 1e-6
+
+
+def test_sharded_mppi_solves_task(mesh8):
+    cfg = MPPIConfig(n_samples=128, horizon=25, temperature=0.2, sigma=0.6,
+                     terminal_scale=10.0)
+    plan = jax.jit(make_sharded_mppi(_dyn, _cost, cfg, mesh8))
+    ms = MPPIState.init(jax.random.PRNGKey(0), cfg.T, nu=1)
+    state = (jnp.asarray(0.0), jnp.asarray(0.0))
+    for _ in range(60):
+        action, ms, diag = plan(ms, state)
+        state = _dyn(state, jnp.atleast_1d(action), 0)
+    assert abs(float(state[0]) - 1.0) < 0.15
+    assert float(diag.ess) > 1.0
+
+
+def test_sharded_deterministic(mesh8):
+    cfg = MPPIConfig(n_samples=32, horizon=8, sigma=0.3)
+    plan = make_sharded_mppi(_dyn, _cost, cfg, mesh8)
+    s0 = (jnp.asarray(0.0), jnp.asarray(0.0))
+    a1, _, _ = plan(MPPIState.init(jax.random.PRNGKey(9), cfg.T, 1), s0)
+    a2, _, _ = plan(MPPIState.init(jax.random.PRNGKey(9), cfg.T, 1), s0)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
