@@ -20,6 +20,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from ..utils.trajio import write_csv as _write_csv
+
 
 class TrajectoryLogger:
     def __init__(self):
@@ -51,9 +53,9 @@ class TrajectoryLogger:
         os.makedirs(run_dir, exist_ok=True)
         s, a, t = self.arrays()
         if fmt == "csv":
-            np.savetxt(os.path.join(run_dir, "states.csv"), s, delimiter=",")
-            np.savetxt(os.path.join(run_dir, "actions.csv"), a, delimiter=",")
-            np.savetxt(os.path.join(run_dir, "times.csv"), t, delimiter=",")
+            _write_csv(os.path.join(run_dir, "states.csv"), s)
+            _write_csv(os.path.join(run_dir, "actions.csv"), a)
+            _write_csv(os.path.join(run_dir, "times.csv"), t)
         else:
             np.savez(os.path.join(run_dir, "trajectory.npz"),
                      states=s, actions=a, times=t)
@@ -69,5 +71,5 @@ class TrajectoryLogger:
         for kind, arr in (("states", s), ("actions", a), ("times", t)):
             d = os.path.join(base, f"{kind}{suffix}")
             os.makedirs(d, exist_ok=True)
-            np.savetxt(os.path.join(d, f"{kind}_{ts}.csv"), arr, delimiter=",")
+            _write_csv(os.path.join(d, f"{kind}_{ts}.csv"), arr)
         return ts

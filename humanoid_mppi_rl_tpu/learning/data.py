@@ -25,6 +25,8 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..utils.trajio import read_csv as _read_csv
+
 
 def _smooth(arr: np.ndarray, window: int) -> np.ndarray:
     if window <= 1:
@@ -110,8 +112,8 @@ class StateActionDataset(_PairDataset):
                  smooth_window: int = 0, noise_std: float = 0.0,
                  state_idxes: Optional[Sequence[int]] = None, seed: int = 0):
         super().__init__()
-        states = np.loadtxt(states_csv, delimiter=",", ndmin=2)
-        actions = np.loadtxt(actions_csv, delimiter=",", ndmin=2)
+        states = _read_csv(states_csv)
+        actions = _read_csv(actions_csv)
         n = min(len(states), len(actions))
         states, actions = states[:n], actions[:n]
         if smooth_window:
@@ -138,8 +140,8 @@ class MultiTrajectoryDataset(_PairDataset):
                 f"mismatched trajectory counts: {len(s_files)} vs {len(a_files)}")
         xs, ys = [], []
         for sf, af in zip(s_files, a_files):
-            states = np.loadtxt(sf, delimiter=",", ndmin=2)
-            actions = np.loadtxt(af, delimiter=",", ndmin=2)
+            states = _read_csv(sf)
+            actions = _read_csv(af)
             n = min(len(states), len(actions))
             if n < 2:
                 continue

@@ -241,7 +241,8 @@ class StepContext:
 
     def body_com_linvel(self, model: PhysicsModel, b: int) -> Vec3:
         R = qmat(self.xquat[b])
-        ip = model.body_ipos[b]
+        ip = [float(x) for x in model.body_ipos[b]]  # plain floats: np.float64
+        # scalars would promote f32 lanes to f64 under jax_enable_x64
         xi = add3(self.xpos[b], tuple(
             R[i][0] * ip[0] + R[i][1] * ip[1] + R[i][2] * ip[2] for i in range(3)))
         V = self.body_vel[b]
@@ -504,8 +505,8 @@ def scalar_step(
     # friction as explicit forces, and per-body damping matrices D_b
     # (B_p^T C B_p summed over the body's points) for the implicit term.
     _VT_EPS = 5e-3
-    k_c = model.contact_stiffness
-    c_c = model.contact_damping
+    k_c = float(model.contact_stiffness)
+    c_c = float(model.contact_damping)
     for pair in model.contact_pairs:
         g1 = model.geoms[pair.geom1]
         g2 = model.geoms[pair.geom2]

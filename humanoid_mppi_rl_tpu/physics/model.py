@@ -420,8 +420,10 @@ def build_from_mjcf(
     # (damping is handled implicitly in the engine, so stiffness here is
     # bounded by accuracy, not stability)
     weight = total_mass * 9.81
-    contact_stiffness = weight / 0.004
-    contact_damping = 2.0 * np.sqrt(contact_stiffness * total_mass)
+    contact_stiffness = float(weight / 0.004)
+    # plain python float — a stray np.float64 scalar silently promotes every
+    # downstream f32 array to f64 under jax_enable_x64
+    contact_damping = float(2.0 * np.sqrt(contact_stiffness * total_mass))
 
     # mass-matrix diagonal at qpos0 (for per-dof limit penalty scaling)
     d0 = mujoco.MjData(m)
