@@ -25,7 +25,7 @@ def main():
     K = int(os.environ.get("BENCH_K", "8192"))
     H = int(os.environ.get("BENCH_H", "64"))
     task = os.environ.get("BENCH_TASK", "humanoid_collect")
-    iters = int(os.environ.get("BENCH_ITERS", "10"))
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
 
     import jax
     import jax.numpy as jnp
@@ -53,16 +53,17 @@ def main():
 
     t0 = time.perf_counter()
     action, ms, diag = plan(ms, init_state)
-    jax.block_until_ready(action)
+    _ = np.asarray(action)  # host fetch: block_until_ready does not reliably
+    # block through remote-device tunnels
     compile_s = time.perf_counter() - t0
 
-    lat = []
+    # chained timing: each replan consumes the previous MPPIState, so the
+    # sequence is serialized on device; one host fetch at the end
+    t0 = time.perf_counter()
     for _ in range(iters):
-        t0 = time.perf_counter()
         action, ms, diag = plan(ms, init_state)
-        jax.block_until_ready(action)
-        lat.append(time.perf_counter() - t0)
-    lat_med = float(np.median(lat))
+    _ = np.asarray(action)
+    lat_med = (time.perf_counter() - t0) / iters
 
     sim_dt = model.timestep  # 0.005 humanoid
     rollouts_per_sec = K / lat_med

@@ -65,6 +65,98 @@ def sharded_update_op(mesh: Mesh, cfg: MPPIConfig, axis: str = "k"):
     return op
 
 
+def make_sharded_kernel_mppi(
+    model,
+    kernel_cost_factory: Callable,
+    cfg: MPPIConfig,
+    mesh: Mesh,
+    cost_kwargs: Optional[dict] = None,
+    block_k: int = 512,
+    axis: str = "k",
+    interpret: Optional[bool] = None,
+):
+    """Mesh-sharded MPPI over the fused Pallas rollout kernel: each device
+    runs the mega-kernel on its K/n_shards local samples; the replan
+    reduction is the same 3-collective psum/pmin pattern as
+    make_sharded_mppi. plan(mppi_state, plant: PhysicsState, params=None)."""
+    import numpy as _np
+
+    from ..ops.rollout_kernel import build_rollout_kernel
+    from ..solver.mppi import MPPIState as _MPPIState
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n_shards = mesh.shape[axis]
+    if cfg.K % n_shards:
+        raise ValueError(f"K={cfg.K} not divisible by mesh axis {n_shards}")
+    k_local = cfg.K // n_shards
+    bk = min(block_k, k_local)
+    if k_local % bk:
+        raise ValueError(f"local K={k_local} not divisible by block_k={bk}")
+
+    ctrl_low = None if cfg.ctrl_low is None else _np.asarray(cfg.ctrl_low)
+    ctrl_high = None if cfg.ctrl_high is None else _np.asarray(cfg.ctrl_high)
+    rollouts = build_rollout_kernel(
+        model, kernel_cost_factory, cfg.T, block_k=bk,
+        ctrl_low=ctrl_low if cfg.clamp_rollout_ctrl else None,
+        ctrl_high=ctrl_high if cfg.clamp_rollout_ctrl else None,
+        cost_kwargs=cost_kwargs, interpret=interpret,
+    )
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    def _body(U, qpos, qvel, t0, shard_keys, params):
+        key = shard_keys[0]
+        dtype = U.dtype
+        sigma = jnp.asarray(cfg.sigma, dtype)
+        noise = sigma * jax.random.normal(
+            key, (cfg.T, model.nu, k_local), dtype)
+        qpK = jnp.broadcast_to(qpos[:, None], (model.nq, k_local))
+        qvK = jnp.broadcast_to(qvel[:, None], (model.nv, k_local))
+        t0K = jnp.broadcast_to(t0, (1, k_local))
+        costs, _, _ = rollouts(qpK, qvK, t0K, U, noise, params=params)
+
+        beta = jax.lax.pmin(jnp.min(costs), axis)
+        w = jnp.exp(-(costs - beta) / cfg.temperature)
+        norm = jax.lax.psum(jnp.sum(w), axis) + cfg.weight_eps
+        update = jax.lax.psum(jnp.einsum("tuk,k->tu", noise, w), axis) / norm
+        mean_cost = jax.lax.pmean(jnp.mean(costs), axis)
+        ess = norm * norm / jax.lax.psum(jnp.sum(w * w), axis)
+        return update, beta, mean_cost, ess
+
+    def plan(mppi_state, plant, params=None):
+        key, sub = jax.random.split(mppi_state.key)
+        shard_keys = jax.vmap(lambda i: jax.random.fold_in(sub, i))(
+            jnp.arange(n_shards, dtype=jnp.uint32))
+        U = mppi_state.U
+        dtype = U.dtype
+        if params is None:
+            params = jnp.zeros(8, dtype)
+        update, beta, mean_cost, ess = _body(
+            U, plant.qpos.astype(dtype), plant.qvel.astype(dtype),
+            plant.time.astype(dtype), shard_keys, jnp.asarray(params, dtype))
+        if cfg.update_mode == "replace":
+            U_new = update
+        else:
+            U_new = U + update
+        if cfg.clamp_plan:
+            U_new = _clip_ctrl(U_new, cfg)
+        action = _clip_ctrl(U_new[0], cfg)
+        diag = MPPIDiagnostics(
+            beta=beta, mean_cost=mean_cost, ess=ess,
+            weight_entropy=jnp.asarray(0.0, dtype),
+            update_norm=jnp.linalg.norm(update),
+        )
+        return action, _MPPIState(U=shift_plan(U_new, cfg.tail_decay), key=key), diag
+
+    return plan
+
+
 def make_sharded_mppi(
     dynamics_fn: Callable,
     cost_fn: Callable,
