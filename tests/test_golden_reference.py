@@ -1,0 +1,79 @@
+"""Golden-trajectory checks against the reference's committed datasets.
+
+The reference repo ships humanoid trajectories logged from its MuJoCo-C MPPI
+runs (reference data/<timestamp>/{states,actions,times}.csv — 55-col states
+= 28 qpos + 27 qvel, 21-col actions, dt 5 ms). These tests replay logged
+(state_t, action_t) pairs through our engine and measure one-step prediction
+error against the logged state_{t+1}, with the MuJoCo C engine evaluated on
+the same pairs as the reachable-accuracy yardstick (contact handling differs:
+constraint solver there, smooth penalties here — SURVEY.md §7 tolerance
+ladder). Skipped when the reference checkout is absent.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF_RUN = "/root/reference/data/2025-04-09_145305"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_RUN), reason="reference dataset not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_traj():
+    states = np.loadtxt(os.path.join(REF_RUN, "states.csv"), delimiter=",")
+    actions = np.loadtxt(os.path.join(REF_RUN, "actions.csv"), delimiter=",")
+    return states, actions
+
+
+def test_reference_layout(ref_traj):
+    states, actions = ref_traj
+    assert states.shape[1] == 55      # 28 qpos + 27 qvel
+    assert actions.shape[1] == 21
+
+
+def test_one_step_prediction_vs_reference_log(ref_traj):
+    """Our engine's one-step predictions on logged reference pairs track the
+    MuJoCo C engine's own predictions (same pairs, same horizon)."""
+    from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward, step
+
+    mujoco = pytest.importorskip("mujoco")
+    states, actions = ref_traj
+    asset = os.path.join(os.path.dirname(__file__), "..",
+                         "humanoid_mppi_rl_tpu", "assets", "humanoid.xml")
+    pm = build_from_mjcf(asset)
+    m = mujoco.MjModel.from_xml_path(asset)
+    d = mujoco.MjData(m)
+
+    # the reference logs one row per CONTROL step but steps the plant once
+    # per control step too (src/Humanoid_datacollection_v2.jl:258-260), so
+    # consecutive rows are one physics step apart; MuJoCo C replays them to
+    # machine precision (~1e-16), i.e. this is a true golden dataset.
+    idxs = np.arange(40, 400, 8)
+    ours_err, nefc = [], []
+    for i in idxs:
+        qpos, qvel = states[i, :28], states[i, 28:55]
+        u = actions[i]
+        st = step(pm, forward(pm, jnp.asarray(qpos), jnp.asarray(qvel)),
+                  jnp.asarray(u))
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = u
+        mujoco.mj_step(m, d)
+        np.testing.assert_allclose(d.qpos, states[i + 1, :28], atol=1e-10)
+        ours_err.append(np.abs(np.asarray(st.qpos) - states[i + 1, :28]).max())
+        nefc.append(d.nefc)
+    ours_err = np.asarray(ours_err)
+    nefc = np.asarray(nefc)
+    # constraint-free frames: our smooth dynamics are exact
+    if (nefc == 0).any():
+        assert np.median(ours_err[nefc == 0]) < 1e-9
+    # constraint-active frames: smooth penalties vs MuJoCo's constraint
+    # solver — the documented tolerance ladder (currently ~0.025 median
+    # one-step qpos deviation during contact/limit activity)
+    assert np.median(ours_err) < 0.05, np.median(ours_err)
