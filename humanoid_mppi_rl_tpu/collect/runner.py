@@ -85,6 +85,7 @@ class EpisodeRunner:
             lambda ms, plant, params=None: control_step(ms, plant, params))
         self._plan = plan
         self.use_kernel = use_kernel
+        self._chunk_cache = {}
 
     def fresh_controller(self, seed: Optional[int] = None) -> MPPIState:
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
@@ -94,7 +95,13 @@ class EpisodeRunner:
         """Scan `chunk` control steps on device, logging rows/flags into
         stacked device arrays — ONE host transfer per chunk instead of
         several per step (host readbacks are expensive, especially through
-        a remote-device tunnel)."""
+        a remote-device tunnel). goal_fn/fall_fn take (qpos, params) so a
+        changing episode goal does NOT retrigger compilation; the compiled
+        chunk fn is cached per (chunk, fns) identity."""
+        key = (chunk, state_row_fn, goal_fn, fall_fn)
+        cached = self._chunk_cache.get(key)
+        if cached is not None:
+            return cached
         control = self.control_step
 
         def one(carry, _):
@@ -102,9 +109,9 @@ class EpisodeRunner:
             row = (state_row_fn(plant) if state_row_fn
                    else jnp.concatenate([plant.qpos, plant.qvel]))
             action, ms2, plant2, _ = control(ms, plant, params)
-            goal = (goal_fn(plant2.qpos) if goal_fn is not None
+            goal = (goal_fn(plant2.qpos, params) if goal_fn is not None
                     else jnp.asarray(False))
-            fell = (fall_fn(plant2.qpos) if fall_fn is not None
+            fell = (fall_fn(plant2.qpos, params) if fall_fn is not None
                     else jnp.asarray(False))
             return (ms2, plant2, params), (row, action, plant.time, goal, fell)
 
@@ -113,7 +120,9 @@ class EpisodeRunner:
                 one, (ms, plant, params), None, length=chunk)
             return ms, plant, outs
 
-        return jax.jit(run_chunk)
+        fn = jax.jit(run_chunk)
+        self._chunk_cache[key] = fn
+        return fn
 
     def run(
         self,
@@ -127,13 +136,16 @@ class EpisodeRunner:
         params=None,
         chunk: int = 50,
     ) -> EpisodeResult:
-        """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos jnp)->bool jnp —
-        all evaluated on device (scanned in chunks)."""
+        """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos, params)->bool
+        jnp — all evaluated on device (scanned in chunks). `params` is an
+        8-slot f32 vector carrying episode-varying quantities (goals) so
+        repeated runs reuse the compiled chunk."""
         plant = self.init_state if init_state is None else init_state
         plant = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), plant)
         ms = self.fresh_controller(seed)
-        if params is not None:
-            params = jnp.asarray(params, jnp.float32)
+        params = np.zeros(8, np.float32) if params is None else np.asarray(params)
+        params = jnp.asarray(np.pad(params.astype(np.float32),
+                                    (0, 8 - params.shape[0])))
         log = logger if logger is not None else TrajectoryLogger()
         run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn)
 
@@ -189,6 +201,28 @@ def random_humanoid_goal(rng: np.random.Generator):
     return np.array([rng.random() * 2.0 + 0.5, rng.random() - 0.5, 1.28])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _humanoid_state_row(id_l: int, id_r: int):
+    def state_row(st):
+        # 57-col layout (reference src/Humanoid_datacollection_v2.jl:70-81)
+        return jnp.concatenate([
+            st.qpos, st.qvel,
+            st.xpos[id_l, 2][None], st.xpos[id_r, 2][None],
+        ])
+    return state_row
+
+
+@functools.lru_cache(maxsize=None)
+def _humanoid_goal_fn(goal_threshold: float):
+    def goal_fn(qpos, params):
+        xy = jnp.linalg.norm(qpos[0:2] - params[0:2])
+        return (xy < goal_threshold) & (jnp.abs(qpos[2] - params[2]) < 0.1)
+    return goal_fn
+
+
 def collect_humanoid(
     n_episodes: int = 1,
     out_dir: str = "data",
@@ -217,6 +251,8 @@ def collect_humanoid(
     model = runner.model
     id_l = model.body_id("foot_left")
     id_r = model.body_id("foot_right")
+    # jitted init FK (eager per-op execution is disastrous on remote devices)
+    fwd_j = jax.jit(lambda qp, qv: forward(model, qp, qv))
 
     for ep in range(n_episodes):
         if ep % num_shards != shard_index:
@@ -229,24 +265,14 @@ def collect_humanoid(
                                    cost_kwargs_override={"target": tuple(goal)},
                                    mppi_override=mppi_override)
         qpos, qvel = randomize_humanoid_pose(model, rng)
-        init = forward(model, jnp.asarray(qpos, jnp.float32),
-                       jnp.asarray(qvel, jnp.float32))
-        goal_j = jnp.asarray(goal, jnp.float32)
-
-        def state_row(st):
-            # 57-col layout (reference src/Humanoid_datacollection_v2.jl:70-81)
-            return jnp.concatenate([
-                st.qpos, st.qvel,
-                st.xpos[id_l, 2][None], st.xpos[id_r, 2][None],
-            ])
-
-        def goal_fn(qpos):
-            xy = jnp.linalg.norm(qpos[0:2] - goal_j[0:2])
-            return (xy < goal_threshold) & (jnp.abs(qpos[2] - goal_j[2]) < 0.1)
+        init = fwd_j(jnp.asarray(qpos, jnp.float32),
+                     jnp.asarray(qvel, jnp.float32))
 
         res = runner.run(max_steps=max_steps, init_state=init,
-                         seed=seed + ep, state_row_fn=state_row,
-                         goal_fn=goal_fn, params=goal_j if use_kernel else None)
+                         seed=seed + ep,
+                         state_row_fn=_humanoid_state_row(id_l, id_r),
+                         goal_fn=_humanoid_goal_fn(goal_threshold),
+                         params=goal)
         if save and res.goal_reached:
             # reference saves ONLY successful episodes (:268-275)
             res.logger.save_split_dirs(out_dir)
@@ -257,6 +283,21 @@ def collect_humanoid(
 # ---------------------------------------------------------------------------
 # Quadruped collection (reference src/quadruped_datacollection.py:207-260)
 # ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _quad_goal_fn(goal_tolerance: float):
+    def goal_fn(qpos, params):
+        dist = jnp.linalg.norm(qpos[0:2] - params[0:2])
+        return (dist < goal_tolerance) | (qpos[0] >= params[0])
+    return goal_fn
+
+
+@functools.lru_cache(maxsize=None)
+def _quad_fall_fn(fall_z: float):
+    def fall_fn(qpos, params):
+        return qpos[2] < fall_z
+    return fall_fn
+
 
 def collect_quadruped(
     n_runs: int = 100,
@@ -277,17 +318,11 @@ def collect_quadruped(
         goal_xy = (i + 2.0, 0.0)
         runner = EpisodeRunner("go1_collect",
                                cost_kwargs_override={"goal_xy": goal_xy})
-        goal_j = jnp.asarray(goal_xy, jnp.float32)
-
-        def goal_fn(qpos):
-            dist = jnp.linalg.norm(qpos[0:2] - goal_j)
-            return (dist < goal_tolerance) | (qpos[0] >= goal_j[0])
-
-        def fall_fn(qpos):
-            return qpos[2] < fall_z
 
         res = runner.run(max_steps=max_steps, seed=seed + i,
-                         goal_fn=goal_fn, fall_fn=fall_fn)
+                         goal_fn=_quad_goal_fn(goal_tolerance),
+                         fall_fn=_quad_fall_fn(fall_z),
+                         params=np.asarray(goal_xy))
         if save and res.goal_reached:
             run_dir = os.path.join(out_base, f"run_{i:03d}")
             res.logger.save_run_dir(run_dir)

@@ -104,6 +104,7 @@ TASKS["humanoid_bench"] = dataclasses.replace(
 
 def load_task(name: str):
     """Build (spec, physics_model, dynamics, running, terminal, init_state)."""
+    import jax
     import jax.numpy as jnp
 
     from ..dynamics.physics import make_physics_dynamics
@@ -132,6 +133,9 @@ def load_task(name: str):
         qpos0 = np.asarray(spec.init_qpos, dtype=np.float64)
     else:
         qpos0 = model.qpos0
-    init_state = forward(model, jnp.asarray(qpos0), jnp.zeros(model.nv))
+    # jit the init FK: eager op-by-op execution is pathologically slow on
+    # remote-tunneled devices (each tiny op is a host round-trip)
+    init_state = jax.jit(lambda qp, qv: forward(model, qp, qv))(
+        jnp.asarray(qpos0), jnp.zeros(model.nv))
 
     return spec, model, dynamics, running, terminal, init_state, cfg
