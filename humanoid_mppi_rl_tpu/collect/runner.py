@@ -113,12 +113,19 @@ class EpisodeRunner:
                     else jnp.asarray(False))
             fell = (fall_fn(plant2.qpos, params) if fall_fn is not None
                     else jnp.asarray(False))
-            return (ms2, plant2, params), (row, action, plant.time, goal, fell)
+            # pack everything into ONE row so the host does a single fetch
+            # per chunk (each device->host transfer through a remote tunnel
+            # costs ~seconds regardless of size)
+            packed = jnp.concatenate([
+                row, action, plant.time[None],
+                goal.astype(row.dtype)[None], fell.astype(row.dtype)[None],
+            ])
+            return (ms2, plant2, params), packed
 
         def run_chunk(ms, plant, params):
-            (ms, plant, params), outs = jax.lax.scan(
+            (ms, plant, params), packed = jax.lax.scan(
                 one, (ms, plant, params), None, length=chunk)
-            return ms, plant, outs
+            return ms, plant, packed
 
         fn = jax.jit(run_chunk)
         self._chunk_cache[key] = fn
@@ -149,17 +156,18 @@ class EpisodeRunner:
         log = logger if logger is not None else TrajectoryLogger()
         run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn)
 
+        nu = self.model.nu
         goal = fell = False
         steps = 0
         while steps < max_steps:
             n = min(chunk, max_steps - steps)
-            ms, plant, (rows, actions, times, goals, falls) = run_chunk(
-                ms, plant, params)
-            rows = np.asarray(rows)
-            actions = np.asarray(actions)
-            times = np.asarray(times)
-            goals = np.asarray(goals)
-            falls = np.asarray(falls)
+            ms, plant, packed = run_chunk(ms, plant, params)
+            packed = np.asarray(packed)          # ONE host fetch per chunk
+            rows = packed[:, :-(nu + 3)]
+            actions = packed[:, -(nu + 3):-3]
+            times = packed[:, -3]
+            goals = packed[:, -2] > 0.5
+            falls = packed[:, -1] > 0.5
             # find first termination inside the chunk
             stop = n
             for i in range(n):
