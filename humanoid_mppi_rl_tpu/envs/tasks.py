@@ -75,6 +75,9 @@ TASKS = {
             K=50, T=100, lam=1.0, sigma=1.0),
         _mk("humanoid_v3", "humanoid.xml", humanoid_cost.make_costs,
             K=30, T=75, lam=1.0, sigma=0.75, kernel_cost="humanoid"),
+        # reference src/Humanoid_datacollection.py:35-38 (hard-penalty cost)
+        _mk("humanoid_hard", "humanoid.xml", humanoid_cost.make_costs_hard_penalty,
+            K=30, T=75, lam=1.0, sigma=0.75),
         _mk("humanoid_collect", "humanoid.xml", humanoid_cost.make_costs,
             K=50, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
         _mk("go1", "go1.xml", quadruped_cost.make_costs_mppi_jl,
