@@ -140,6 +140,7 @@ def make_sharded_kernel_mppi(
         update, beta, mean_cost, ess = _body(
             U, plant.qpos.astype(dtype), plant.qvel.astype(dtype),
             plant.time.astype(dtype), shard_keys, jnp.asarray(params, dtype))
+        update = update.astype(dtype)
         if cfg.update_mode == "replace":
             U_new = update
         else:
@@ -202,6 +203,7 @@ def make_sharded_mppi(
         U = mppi_state.U
         update, beta, mean_cost, ess, _ = _sharded_plan_body(
             U, dyn_state, shard_keys)
+        update = update.astype(U.dtype)
 
         if cfg.update_mode == "replace":
             U_new = update

@@ -64,7 +64,7 @@ def make_kernel_mppi(
         w = jnp.exp(-(costs - beta) / cfg.temperature)
         norm = jnp.sum(w) + cfg.weight_eps
         w = w / norm
-        update = jnp.einsum("tuk,k->tu", noise, w)
+        update = jnp.einsum("tuk,k->tu", noise, w).astype(dtype)
 
         if cfg.update_mode == "replace":
             U_new = update

@@ -201,6 +201,8 @@ def make_mppi(
         else:
             w, beta = mppi_weights(costs, cfg.temperature, cfg.weight_eps)
             update = weighted_noise_update(w, noise)
+        # contain cost-side dtype drift (e.g. f64 cost constants under x64)
+        update = update.astype(U.dtype)
 
         if cfg.update_mode == "replace":
             U_new = update
