@@ -13,4 +13,8 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# the sitecustomize may have imported jax and registered the axon backend
+# BEFORE this conftest ran, in which case the env var above is too late —
+# the config update still wins as long as no computation has run yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
