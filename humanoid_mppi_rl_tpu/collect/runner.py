@@ -91,14 +91,15 @@ class EpisodeRunner:
         key = jax.random.PRNGKey(self.seed if seed is None else seed)
         return MPPIState.init(key, self.cfg.T, self.model.nu)
 
-    def _build_chunk_fn(self, chunk, state_row_fn, goal_fn, fall_fn):
+    def _build_chunk_fn(self, chunk, state_row_fn, goal_fn, fall_fn,
+                        plant_update_fn=None):
         """Scan `chunk` control steps on device, logging rows/flags into
         stacked device arrays — ONE host transfer per chunk instead of
         several per step (host readbacks are expensive, especially through
         a remote-device tunnel). goal_fn/fall_fn take (qpos, params) so a
         changing episode goal does NOT retrigger compilation; the compiled
         chunk fn is cached per (chunk, fns) identity."""
-        key = (chunk, state_row_fn, goal_fn, fall_fn)
+        key = (chunk, state_row_fn, goal_fn, fall_fn, plant_update_fn)
         cached = self._chunk_cache.get(key)
         if cached is not None:
             return cached
@@ -109,6 +110,11 @@ class EpisodeRunner:
             row = (state_row_fn(plant) if state_row_fn
                    else jnp.concatenate([plant.qpos, plant.qvel]))
             action, ms2, plant2, _ = control(ms, plant, params)
+            if plant_update_fn is not None:
+                # post-step plant-state mutation hook (e.g. the v2.py
+                # goal-advance, which rewrites the target carried in the
+                # augmented plant state)
+                plant2 = plant_update_fn(plant2, params)
             goal = (goal_fn(plant2.qpos, params) if goal_fn is not None
                     else jnp.asarray(False))
             fell = (fall_fn(plant2.qpos, params) if fall_fn is not None
@@ -142,6 +148,7 @@ class EpisodeRunner:
         logger: Optional[TrajectoryLogger] = None,
         params=None,
         chunk: int = 50,
+        plant_update_fn: Optional[Callable] = None,
     ) -> EpisodeResult:
         """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos, params)->bool
         jnp — all evaluated on device (scanned in chunks). `params` is an
@@ -154,7 +161,8 @@ class EpisodeRunner:
         params = jnp.asarray(np.pad(params.astype(np.float32),
                                     (0, 8 - params.shape[0])))
         log = logger if logger is not None else TrajectoryLogger()
-        run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn)
+        run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn,
+                                         plant_update_fn)
 
         nu = self.model.nu
         goal = fell = False
@@ -285,6 +293,64 @@ def collect_humanoid(
             # reference saves ONLY successful episodes (:268-275)
             res.logger.save_split_dirs(out_dir)
         results.append((ep, res.goal_reached, res.steps))
+    return results
+
+
+@functools.lru_cache(maxsize=None)
+def _v2py_state_row(inv_dt: float):
+    def state_row(st):
+        # 56-col layout: [qpos; (qpos - prev_qpos)/dt] — the reference logs
+        # an FD velocity ESTIMATE of qpos (nq-sized, not qvel!) in place of
+        # qvel (reference src/Humanoid_datacollection_v2.py:68-83). First row
+        # has prev == qpos (init) -> zeros, like the reference's None guard.
+        vel = (st.phys.qpos - st.prev_qpos) * inv_dt
+        return jnp.concatenate([st.phys.qpos, vel])
+    return state_row
+
+
+def _v2py_plant_update(plant, params):
+    from ..costs.humanoid import advance_goal_v2py
+    return advance_goal_v2py(plant)
+
+
+def collect_humanoid_v2py(
+    n_episodes: int = 1,
+    out_dir: str = "data",
+    seed: int = 0,
+    max_steps: int = 2000,
+    save: bool = True,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    mppi_override: Optional[dict] = None,
+):
+    """Reference src/Humanoid_datacollection_v2.py driver: FD-velocity
+    logging (56-col states), hysteresis gait phase threaded across control
+    steps, TWO replans per executed action, runtime goal-advance
+    (Position += [2,0,0] within 0.15 of the full 3D goal), unconditional
+    save at episode end into data/<timestamp>/{states,actions,times}.csv.
+
+    Deviations (documented): the reference logs 3 rows per plant step (twice
+    inside mppi_controller, once after mj_step — an artifact that duplicates
+    timestamps); we log once per control step. The reference episode only
+    ends when the viewer closes; we run ``max_steps``.
+    """
+    from datetime import datetime
+
+    results = []
+    runner = EpisodeRunner("humanoid_collect_v2py",
+                           mppi_override=mppi_override)
+    inv_dt = 1.0 / runner.model.timestep
+
+    for ep in range(n_episodes):
+        if ep % num_shards != shard_index:
+            continue
+        res = runner.run(max_steps=max_steps, seed=seed + ep,
+                         state_row_fn=_v2py_state_row(inv_dt),
+                         plant_update_fn=_v2py_plant_update)
+        if save:
+            ts = datetime.now().strftime("%Y-%m-%d_%H%M%S") + f"_{ep:03d}"
+            res.logger.save_run_dir(os.path.join(out_dir, ts))
+        results.append((ep, res.steps))
     return results
 
 

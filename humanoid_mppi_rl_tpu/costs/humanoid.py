@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 
 from .base import body_com_linvel, quat_rpy
 
@@ -139,6 +140,183 @@ def make_costs_hard_penalty(model, target=(2.0, 0.0, 1.28),
 
     def terminal(state, t):
         return 10.0 * running(state, jnp.zeros(model.nu, state.qpos.dtype), t)
+
+    return running, terminal
+
+
+# ---------------------------------------------------------------------------
+# v2.py variant: finite-difference velocities + hysteresis gait phase
+# (reference src/Humanoid_datacollection_v2.py)
+# ---------------------------------------------------------------------------
+
+@struct.dataclass
+class GaitFDState:
+    """Physics state augmented with the v2.py controller-threaded extras:
+
+    - ``prev_qpos``: previous-step qpos, so costs/logging can use the
+      finite-difference velocity estimate ``(qpos - prev_qpos)/dt`` the
+      reference uses in place of qvel (src/Humanoid_datacollection_v2.py:68-83,
+      :250-256 "joint-vel mask").
+    - hysteresis gait phase (:45-55, :133-162): the instantaneously higher
+      foot is the candidate swing side; only after ``PHASE_DELAY`` consecutive
+      frames of agreement does the *committed* side switch. The reference
+      keeps this in module globals mutated inside the cost (so it is
+      sample-constant per replan, SURVEY.md §3.1 caveat); here it is explicit
+      state threaded through the dynamics, updated once per step — rollout
+      samples carry their own phase state and discriminate per sample.
+
+    All extras are f32 scalars/vectors so the struct stays a uniform pytree.
+    """
+
+    phys: object            # PhysicsState
+    prev_qpos: jax.Array    # (nq,)
+    committed_left: jax.Array   # 1.0 = left swing committed
+    last_left: jax.Array        # last instantaneous side
+    count: jax.Array            # consecutive-agreement counter
+    goal: jax.Array             # (3,) current target Position — mutated at
+    # runtime by the goal-advance logic (reference :307-312), so it is state,
+    # not a baked cost constant; rollout dynamics leaves it untouched
+
+    # passthroughs so drivers treat this like a PhysicsState
+    @property
+    def qpos(self):
+        return self.phys.qpos
+
+    @property
+    def qvel(self):
+        return self.phys.qvel
+
+    @property
+    def time(self):
+        return self.phys.time
+
+    @property
+    def xpos(self):
+        return self.phys.xpos
+
+    @property
+    def xquat(self):
+        return self.phys.xquat
+
+
+def make_gait_fd_wrapper(model, phase_delay: int = 3,
+                         target=(2.0, 0.0, 1.28)):
+    """(base_dynamics, init_phys) -> (dynamics, init) over GaitFDState.
+
+    The hysteresis update runs after every step (plant and rollout alike):
+    inst = foot_left higher; count increments on agreement with the last
+    frame else resets to 1; commit switches once count >= phase_delay
+    (reference src/Humanoid_datacollection_v2.py:139-162).
+    """
+    id_fl = model.body_id("foot_left")
+    id_fr = model.body_id("foot_right")
+
+    def wrap(base_dynamics, init_phys):
+        def dynamics(st: GaitFDState, ctrl, t):
+            phys = base_dynamics(st.phys, ctrl, t)
+            one = jnp.asarray(1.0, phys.qpos.dtype)
+            inst_left = (phys.xpos[id_fl, 2] > phys.xpos[id_fr, 2]).astype(
+                phys.qpos.dtype)
+            same = inst_left == st.last_left
+            count = jnp.where(same, st.count + one, one)
+            committed = jnp.where(count >= phase_delay, inst_left,
+                                  st.committed_left)
+            return GaitFDState(phys=phys, prev_qpos=st.phys.qpos,
+                               committed_left=committed, last_left=inst_left,
+                               count=count, goal=st.goal)
+
+        z = jnp.asarray(0.0, init_phys.qpos.dtype)
+        init = GaitFDState(phys=init_phys, prev_qpos=init_phys.qpos,
+                           committed_left=z + 1.0, last_left=z, count=z,
+                           goal=jnp.asarray(target, init_phys.qpos.dtype))
+        return dynamics, init
+
+    return wrap
+
+
+def advance_goal_v2py(st: GaitFDState, goal_step=(2.0, 0.0, 0.0),
+                      threshold: float = 0.15) -> GaitFDState:
+    """Reference goal-advance (:307-312): when the FULL 3D root-to-goal
+    distance (z included — requires standing at target height) drops below
+    the threshold, the target steps forward by ``goal_step``. Applied to the
+    plant state once per control step by the collection driver."""
+    root = st.phys.qpos[0:3]
+    near = jnp.linalg.norm(root - st.goal) < threshold
+    step = jnp.asarray(goal_step, st.goal.dtype)
+    return st.replace(goal=jnp.where(near, st.goal + step, st.goal))
+
+
+def make_costs_v2py(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
+                    **_unused):
+    """Cost of reference src/Humanoid_datacollection_v2.py:86-216 (the live,
+    post-comment branch), term by term on a GaitFDState.
+
+    Ported quirks, kept verbatim and documented:
+    - velocities are the FD estimate ``(qpos - prev_qpos)/dt`` (nq-sized, not
+      qvel), zeroed on the first rollout frame (:250-256);
+    - ``knee_vel = vel_q[swing_foot_BODY_id]`` — the reference passes a body
+      id where a joint index is expected (:185), so an arbitrary qpos row's
+      FD velocity is rewarded; we reproduce the indexing;
+    - forward axis = torso rotation's first column, targets projected onto it
+      (:167-194) rather than the world x used by v3;
+    - height/goal weights differ from v3: 4/1/12/10 (:102-106).
+    The gait side comes from the committed hysteresis state (see
+    GaitFDState), not recomputed in the cost.
+    """
+    id_foot_l = model.body_id("foot_left")
+    id_foot_r = model.body_id("foot_right")
+    id_shin_l = model.body_id("shin_left")
+    id_shin_r = model.body_id("shin_right")
+    id_torso = model.body_id("torso")
+    del target  # the live goal rides in GaitFDState.goal (runtime-mutable)
+    tvel = jnp.asarray(target_vel)
+    inv_dt = 1.0 / model.timestep
+
+    from ..physics import spatial as sp
+
+    def _core(st: GaitFDState, vel_q, u):
+        qpos = st.phys.qpos
+        root = qpos[0:3]
+        tgt = st.goal
+        roll, pitch, yaw = quat_rpy(qpos[3:7])
+        cost = 4.0 * (roll**2 + pitch**2) + 1.0 * yaw**2
+        cost += 12.0 * jnp.linalg.norm(root[0:2] - tgt[0:2])
+        cost += 10.0 * jnp.abs(tgt[2] - root[2])
+        cost += 1.0 * jnp.linalg.norm(vel_q[0:2] - tvel)
+
+        left = st.committed_left > 0.5
+        swing_id = jnp.where(left, id_foot_l, id_foot_r)
+        stance_id = jnp.where(left, id_foot_r, id_foot_l)
+        knee_id = jnp.where(left, id_shin_l, id_shin_r)
+
+        R = sp.quat_to_mat(st.phys.xquat[id_torso])
+        fwd = R[:, 0]
+        root_proj = jnp.dot(fwd, root)
+        desired = root_proj + 0.5
+        cost += 8.0 * jnp.abs(jnp.dot(fwd, st.phys.xpos[swing_id]) - desired)
+
+        knee_vel = vel_q[swing_id]          # [sic] body id indexes vel_q
+        cost += jnp.where(knee_vel > 0, -0.25 * knee_vel, 0.05 * (-knee_vel))
+
+        cost += 4.0 * jnp.abs(jnp.dot(fwd, st.phys.xpos[knee_id]) - desired)
+        cost += 0.005 * jnp.abs(st.phys.xpos[stance_id][2])
+
+        leg_clearance = (st.phys.xpos[id_foot_l][1]
+                         - st.phys.xpos[id_foot_r][1])
+        cost += jnp.where(leg_clearance < 0.05, 1.0 * leg_clearance**2, 0.0)
+
+        cost += 0.01 * jnp.sum(u**2)
+        return cost
+
+    def running(st: GaitFDState, u, t):
+        vel_q = (st.phys.qpos - st.prev_qpos) * inv_dt
+        vel_q = jnp.where(t == 0, jnp.zeros_like(vel_q), vel_q)
+        return _core(st, vel_q, u)
+
+    def terminal(st: GaitFDState, t):
+        # reference terminal passes zero velocities (:215-216)
+        return 10.0 * _core(st, jnp.zeros_like(st.phys.qpos),
+                            jnp.zeros(model.nu, st.phys.qpos.dtype))
 
     return running, terminal
 

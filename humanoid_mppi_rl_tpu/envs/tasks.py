@@ -46,6 +46,9 @@ class TaskSpec:
     clamp_ctrl_to_range: bool = False  # clip to actuator ctrlrange (go1 scripts)
     ctrl_clamp_abs: Optional[float] = None  # e.g. +-10 in src/mppi.jl:93
     kernel_cost: Optional[str] = None  # ops.kernel_costs.KERNEL_COSTS key
+    state_wrapper: Optional[Callable] = None  # (model) -> ((dyn, init) ->
+    # (dyn', init')) for tasks whose dynamics state is augmented beyond
+    # PhysicsState (e.g. the v2.py FD-velocity + gait-hysteresis carry)
 
     def asset_path(self) -> str:
         return os.path.join(ASSET_DIR, self.asset)
@@ -55,7 +58,7 @@ def _mk(name, asset, cost_factory, K, T, lam, sigma, tail=0.1, terminal_scale=0.
         **kw):
     extra = {k: kw.pop(k) for k in list(kw) if k in (
         "cost_kwargs", "init_qpos", "init_keyframe", "clamp_ctrl_to_range",
-        "ctrl_clamp_abs", "kernel_cost")}
+        "ctrl_clamp_abs", "kernel_cost", "state_wrapper")}
     cfg = MPPIConfig(n_samples=K, horizon=T, temperature=lam, sigma=sigma,
                      tail_decay=tail, terminal_scale=terminal_scale, **kw)
     return TaskSpec(name=name, asset=asset, mppi=cfg, cost_factory=cost_factory,
@@ -80,6 +83,12 @@ TASKS = {
             K=30, T=75, lam=1.0, sigma=0.75),
         _mk("humanoid_collect", "humanoid.xml", humanoid_cost.make_costs,
             K=50, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
+        # reference src/Humanoid_datacollection_v2.py:37-40 — FD-velocity
+        # cost, hysteresis gait phase, double replan per control step
+        _mk("humanoid_collect_v2py", "humanoid.xml",
+            humanoid_cost.make_costs_v2py,
+            K=30, T=75, lam=1.0, sigma=0.75, replans_per_step=2,
+            state_wrapper=humanoid_cost.make_gait_fd_wrapper),
         _mk("go1", "go1.xml", quadruped_cost.make_costs_mppi_jl,
             K=50, T=30, lam=0.2, sigma=0.3, tail=0.0,
             init_keyframe="home", ctrl_clamp_abs=10.0,
@@ -140,5 +149,8 @@ def load_task(name: str):
     # remote-tunneled devices (each tiny op is a host round-trip)
     init_state = jax.jit(lambda qp, qv: forward(model, qp, qv))(
         jnp.asarray(qpos0), jnp.zeros(model.nv))
+
+    if spec.state_wrapper is not None:
+        dynamics, init_state = spec.state_wrapper(model)(dynamics, init_state)
 
     return spec, model, dynamics, running, terminal, init_state, cfg

@@ -63,6 +63,9 @@ class MPPIConfig:
     clamp_plan: bool = False     # clamp U after update (src/quadruped_datacollection.py:179)
     clamp_rollout_ctrl: bool = True  # clip perturbed ctrl inside rollouts
     terminal_scale: float = 0.0  # if no terminal_fn, terminal = scale * running
+    replans_per_step: int = 1    # sample/update passes per control step; the
+    # v2.py humanoid collector runs mppi_step TWICE before executing + shifting
+    # (reference src/Humanoid_datacollection_v2.py:303,315)
 
     @property
     def K(self) -> int:
@@ -190,26 +193,34 @@ def make_mppi(
     """
 
     def plan(mppi_state: MPPIState, dyn_state: Any):
-        key, sub = jax.random.split(mppi_state.key)
+        key = mppi_state.key
         U = mppi_state.U
         sigma = jnp.asarray(cfg.sigma, dtype=U.dtype)
-        noise = sigma * jax.random.normal(sub, (cfg.K, cfg.T, U.shape[-1]), dtype=U.dtype)
 
-        costs = rollout_costs(dynamics_fn, cost_fn, terminal_fn, cfg, dyn_state, U, noise)
-        if update_op is not None:
-            update, (w, beta) = update_op(costs, noise)
-        else:
-            w, beta = mppi_weights(costs, cfg.temperature, cfg.weight_eps)
-            update = weighted_noise_update(w, noise)
-        # contain cost-side dtype drift (e.g. f64 cost constants under x64)
-        update = update.astype(U.dtype)
+        # one or more sample->weight->update passes before acting; only the
+        # last pass's diagnostics survive (unrolled — replans_per_step <= 2
+        # in practice)
+        for _ in range(cfg.replans_per_step):
+            key, sub = jax.random.split(key)
+            noise = sigma * jax.random.normal(
+                sub, (cfg.K, cfg.T, U.shape[-1]), dtype=U.dtype)
+            costs = rollout_costs(
+                dynamics_fn, cost_fn, terminal_fn, cfg, dyn_state, U, noise)
+            if update_op is not None:
+                update, (w, beta) = update_op(costs, noise)
+            else:
+                w, beta = mppi_weights(costs, cfg.temperature, cfg.weight_eps)
+                update = weighted_noise_update(w, noise)
+            # contain cost-side dtype drift (e.g. f64 cost constants under x64)
+            update = update.astype(U.dtype)
 
-        if cfg.update_mode == "replace":
-            U_new = update
-        else:
-            U_new = U + update
-        if cfg.clamp_plan:
-            U_new = _clip_ctrl(U_new, cfg)
+            if cfg.update_mode == "replace":
+                U = update
+            else:
+                U = U + update
+            if cfg.clamp_plan:
+                U = _clip_ctrl(U, cfg)
+        U_new = U
 
         action = _clip_ctrl(U_new[0], cfg)
         U_shifted = shift_plan(U_new, cfg.tail_decay)

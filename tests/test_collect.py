@@ -76,3 +76,99 @@ def test_pose_and_goal_randomization_distributions():
         assert np.abs(qvel).max() <= 0.05 + 1e-9
         g = random_humanoid_goal(rng)
         assert 0.5 <= g[0] <= 2.5 and -0.5 <= g[1] <= 0.5 and g[2] == 1.28
+
+
+def test_v2py_collect_layout_and_fd_velocity(tmp_path):
+    from humanoid_mppi_rl_tpu.collect.runner import collect_humanoid_v2py
+
+    out = str(tmp_path / "v2py")
+    res = collect_humanoid_v2py(n_episodes=1, out_dir=out, max_steps=5,
+                                mppi_override=TINY)
+    assert res == [(0, 5)]
+    sfiles = glob.glob(os.path.join(out, "*", "states.csv"))
+    assert len(sfiles) == 1
+    states = np.loadtxt(sfiles[0], delimiter=",", ndmin=2)
+    # 56 cols: qpos (28) + FD velocity of qpos (28, NOT qvel's 27) —
+    # reference src/Humanoid_datacollection_v2.py:68-83
+    assert states.shape == (5, 56)
+    # first row's velocity estimate is zero (prev_qpos == qpos at init)
+    np.testing.assert_allclose(states[0, 28:], 0.0)
+    # subsequent rows: vel == (qpos_t - qpos_{t-1}) / dt
+    dt = 0.005
+    np.testing.assert_allclose(states[2, 28:],
+                               (states[2, :28] - states[1, :28]) / dt,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_v2py_gait_hysteresis_commitment():
+    """Committed swing side only flips after PHASE_DELAY consecutive frames
+    of the same instantaneous side (reference
+    src/Humanoid_datacollection_v2.py:139-162)."""
+    import jax.numpy as jnp
+    from humanoid_mppi_rl_tpu.costs.humanoid import make_gait_fd_wrapper
+    from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward
+
+    asset = os.path.join(os.path.dirname(__file__), "..",
+                         "humanoid_mppi_rl_tpu", "assets", "humanoid.xml")
+    model = build_from_mjcf(asset)
+    id_fl = model.body_id("foot_left")
+    id_fr = model.body_id("foot_right")
+
+    phys0 = forward(model, jnp.asarray(model.qpos0),
+                    jnp.zeros(model.nv))
+
+    # fake base dynamics: returns a phys whose foot heights we script
+    def make_base(left_higher):
+        def base(phys, ctrl, t):
+            xpos = phys.xpos
+            z_hi, z_lo = 0.3, 0.1
+            xpos = xpos.at[id_fl, 2].set(z_hi if left_higher else z_lo)
+            xpos = xpos.at[id_fr, 2].set(z_lo if left_higher else z_hi)
+            return phys.replace(xpos=xpos)
+        return base
+
+    wrap = make_gait_fd_wrapper(model, phase_delay=3)
+    _, st = wrap(make_base(True), phys0)
+    assert float(st.committed_left) == 1.0  # default commit = left
+
+    # feed "right higher" frames: commit must hold for 2 frames, flip on 3rd
+    dyn_right, _ = wrap(make_base(False), phys0)
+    u = jnp.zeros(model.nu)
+    st = dyn_right(st, u, 0)
+    assert float(st.committed_left) == 1.0 and float(st.count) == 1
+    st = dyn_right(st, u, 1)
+    assert float(st.committed_left) == 1.0 and float(st.count) == 2
+    st = dyn_right(st, u, 2)
+    assert float(st.committed_left) == 0.0 and float(st.count) == 3
+
+    # one dissenting frame resets the counter
+    dyn_left, _ = wrap(make_base(True), phys0)
+    st = dyn_left(st, u, 3)
+    assert float(st.count) == 1 and float(st.committed_left) == 0.0
+
+
+def test_v2py_goal_advance_3d():
+    import jax.numpy as jnp
+    from humanoid_mppi_rl_tpu.costs.humanoid import (GaitFDState,
+                                                     advance_goal_v2py)
+    from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward
+
+    asset = os.path.join(os.path.dirname(__file__), "..",
+                         "humanoid_mppi_rl_tpu", "assets", "humanoid.xml")
+    model = build_from_mjcf(asset)
+
+    def mk(root_xyz, goal):
+        qpos = jnp.asarray(model.qpos0).at[0:3].set(jnp.asarray(root_xyz))
+        phys = forward(model, qpos, jnp.zeros(model.nv))
+        z = jnp.asarray(0.0)
+        return GaitFDState(phys=phys, prev_qpos=qpos, committed_left=z + 1,
+                           last_left=z, count=z, goal=jnp.asarray(goal))
+
+    # xy at goal but z off by 0.3 -> 3D distance too large -> no advance
+    st = mk([2.0, 0.0, 0.98], [2.0, 0.0, 1.28])
+    st2 = advance_goal_v2py(st)
+    np.testing.assert_allclose(np.asarray(st2.goal), [2.0, 0.0, 1.28])
+    # full 3D within threshold -> goal steps by (2, 0, 0)
+    st = mk([2.0, 0.05, 1.30], [2.0, 0.0, 1.28])
+    st2 = advance_goal_v2py(st)
+    np.testing.assert_allclose(np.asarray(st2.goal), [4.0, 0.0, 1.28])

@@ -112,3 +112,28 @@ def test_determinism_same_key_same_trajectory():
     a2, m2, _ = plan(MPPIState.init(jax.random.PRNGKey(5), cfg.T, 1), s0)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
     np.testing.assert_array_equal(np.asarray(m1.U), np.asarray(m2.U))
+
+
+def test_double_replan_accumulates_two_updates_then_shifts_once():
+    """replans_per_step=2 (reference src/Humanoid_datacollection_v2.py:303,315
+    runs mppi_step twice, then executes + shifts once). With K=1 the softmax
+    weight is exactly 1, so each pass adds its raw noise draw: final plan =
+    shift(U0 + n1 + n2), action = (U0 + n1 + n2)[0]."""
+    cfg = MPPIConfig(n_samples=1, horizon=4, sigma=0.3, replans_per_step=2)
+    plan = make_mppi(_integrator_dynamics, _integrator_cost, cfg)
+    key = jax.random.PRNGKey(7)
+    U0 = 0.5 * jnp.ones((cfg.T, 1))
+    ms = MPPIState(U=U0, key=key)
+    action, ms2, _ = plan(ms, (jnp.asarray(0.0), jnp.asarray(0.0)))
+
+    k = key
+    k, s1 = jax.random.split(k)
+    n1 = 0.3 * jax.random.normal(s1, (1, cfg.T, 1))
+    k, s2 = jax.random.split(k)
+    n2 = 0.3 * jax.random.normal(s2, (1, cfg.T, 1))
+    U_expect = U0 + n1[0] + n2[0]
+    np.testing.assert_allclose(np.asarray(action), np.asarray(U_expect[0]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ms2.U),
+                               np.asarray(shift_plan(U_expect, cfg.tail_decay)),
+                               rtol=1e-5)
