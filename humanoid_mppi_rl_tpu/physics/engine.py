@@ -298,6 +298,79 @@ def _passive_forces(model: PhysicsModel, qpos, qvel):
     return tau, G
 
 
+def inverse_dynamics(model: PhysicsModel, state: PhysicsState,
+                     qacc: Optional[jax.Array] = None) -> jax.Array:
+    """mj_inverse analog: the generalized applied force required to realize
+    ``qacc`` at (qpos, qvel), accounting for bias, passive and contact forces:
+
+        qfrc_inverse = M qacc + bias - tau_passive - tau_contact
+
+    (reference src/humanoid_lqr.jl:36,58 uses mj_inverse with qacc=0 for the
+    stand-setpoint calibration). With our smooth penalty contacts the contact
+    force is an explicit function of state, so no constraint solve is needed
+    — and the result is differentiable."""
+    dtype = state.qpos.dtype
+    qpos, qvel, S = state.qpos, state.qvel, state.S
+    I, _ = _spatial_inertias(model, state.xpos, state.xquat, dtype)
+    bias = bias_forces(model, S, I, state.body_vel, qvel)
+    tau_p, _ = _passive_forces(model, qpos, qvel)
+    tau = tau_p
+    if model.contact_pairs:
+        F_c, _ = contact_terms(model, state, S)
+        tau = tau + project_forces(model, S, F_c)
+    out = bias - tau
+    if qacc is not None:
+        M = mass_matrix(model, S, I)
+        out = out + M @ qacc
+    return out
+
+
+def actuator_moment(model: PhysicsModel) -> "jnp.ndarray":
+    """(nu, nv) transmission moment: qfrc_actuator = moment^T @ force with
+    force = gain*ctrl for the motor actuators of the task robots (mujoco
+    data.actuator_moment analog; constant for joint transmissions)."""
+    import numpy as np
+
+    M = np.zeros((model.nu, model.nv))
+    for i, a in enumerate(model.actuators):
+        M[i, a.dofadr] = a.gear
+    return jnp.asarray(M)
+
+
+def body_com_jacobian(model: PhysicsModel, state: PhysicsState,
+                      bodyid: int) -> jax.Array:
+    """(3, nv) world-frame translational jacobian of a body's CoM
+    (mj_jacBodyCom analog)."""
+    dtype = state.qpos.dtype
+    R = sp.quat_to_mat(state.xquat[bodyid])
+    xipos = state.xpos[bodyid] + R @ jnp.asarray(model.body_ipos[bodyid], dtype)
+    A = jnp.asarray(model.ancestor_mask, dtype)[bodyid]        # (nv,)
+    S_ang, S_lin = state.S[:, :3], state.S[:, 3:]              # (nv, 3)
+    J = (S_lin + jnp.cross(S_ang, xipos[None, :])) * A[:, None]
+    return J.T                                                  # (3, nv)
+
+
+def subtree_com_jacobian(model: PhysicsModel, state: PhysicsState,
+                         rootid: int) -> jax.Array:
+    """(3, nv) jacobian of the mass-weighted CoM of ``rootid``'s subtree
+    (mj_jacSubtreeCom analog, reference src/humanoid_lqr.jl:99)."""
+    import numpy as np
+
+    # static subtree membership
+    parent = model.body_parent
+    in_sub = np.zeros(model.nbody, bool)
+    in_sub[rootid] = True
+    for b in range(rootid + 1, model.nbody):
+        in_sub[b] = in_sub[parent[b]]
+    ids = np.where(in_sub)[0]
+    masses = model.body_mass[ids]
+    total = float(masses.sum())
+    J = jnp.zeros((3, model.nv), state.qpos.dtype)
+    for b, mass in zip(ids.tolist(), masses.tolist()):
+        J = J + (mass / total) * body_com_jacobian(model, state, b)
+    return J
+
+
 def forward(model: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
             time: Optional[jax.Array] = None) -> PhysicsState:
     """Compute kinematics caches for (qpos, qvel) — mujoco mj_forward analog."""

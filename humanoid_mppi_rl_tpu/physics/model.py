@@ -157,6 +157,7 @@ class PhysicsModel:
     qpos_spring: np.ndarray                   # (nq,)
 
     body_names: Tuple[str, ...]
+    joint_names: Tuple[str, ...]
     keyframes: Tuple[Tuple[str, np.ndarray], ...]
 
     # ---- packed arrays for vectorized force/integration kernels ----------
@@ -413,6 +414,10 @@ def build_from_mjcf(
         mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, b) or f"body{b}"
         for b in range(nbody)
     )
+    joint_names = tuple(
+        mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_JOINT, j) or f"joint{j}"
+        for j in range(m.njnt)
+    )
 
     total_mass = float(np.sum(m.body_mass))
     # penalty-contact defaults: stiff enough for ~4 mm penetration under the
@@ -533,6 +538,7 @@ def build_from_mjcf(
         qpos0=m.qpos0.copy(),
         qpos_spring=m.qpos_spring.copy(),
         body_names=body_names,
+        joint_names=joint_names,
         keyframes=tuple(keyframes),
         contact_stiffness=contact_stiffness,
         contact_damping=contact_damping,

@@ -93,11 +93,15 @@ def quat_integrate(q: jax.Array, omega_local: jax.Array, h: jax.Array) -> jax.Ar
     with the angular velocity expressed in the body-local frame (MuJoCo free
     joints store local angular velocity in qvel[3:6]).
     """
-    angle = jnp.linalg.norm(omega_local, axis=-1, keepdims=True)
-    # sin(x)/x safe at 0
+    # AD-safe at omega == 0: norm's gradient is 0/0 there, so use
+    # sqrt(|w|^2 + tiny) and the even function sin(half)/angle (-> 0.5*h as
+    # angle -> 0); required for exact jacfwd linearization about rest states
+    # (solver/lqr.py)
+    a2 = jnp.sum(omega_local * omega_local, axis=-1, keepdims=True)
+    angle = jnp.sqrt(a2 + 1e-24)
     half = 0.5 * h * angle
-    axis = omega_local / jnp.where(angle > 1e-12, angle, 1.0)
-    dq = jnp.concatenate([jnp.cos(half), axis * jnp.sin(half)], axis=-1)
+    sinc = jnp.sin(half) / angle            # smooth, = 0.5*h at angle=0
+    dq = jnp.concatenate([jnp.cos(half), omega_local * sinc], axis=-1)
     return quat_normalize(quat_mul(q, dq))
 
 

@@ -17,7 +17,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..physics import PhysicsModel, PhysicsState, forward, step
+from ..physics import (PhysicsModel, PhysicsState, actuator_moment,
+                       body_com_jacobian, forward, inverse_dynamics, step,
+                       subtree_com_jacobian)
 from ..physics import spatial as sp
 from ..physics.model import FREE
 
@@ -49,12 +51,14 @@ def _tangent_diff(model: PhysicsModel, qpos: jax.Array, qpos0: jax.Array) -> jax
         q0 = qpos0[qa + 3 : qa + 7]
         q1 = qpos[qa + 3 : qa + 7]
         dquat = sp.quat_mul(sp.quat_conj(q0), q1)
-        # log map (small-angle): 2 * vec(dquat) * sign(w)
+        # quaternion log map, AD-safe at identity (vec == 0, where a plain
+        # norm has a NaN gradient): dq = [2*atan2(|v|, w)/|v|] * v with the
+        # bracket an even, smooth function of |v| (-> 2/w at 0)
         w = dquat[0]
         vec = dquat[1:]
-        angle = 2.0 * jnp.arctan2(jnp.linalg.norm(vec) + 1e-12, w)
-        axis = vec / (jnp.linalg.norm(vec) + 1e-12)
-        dq = dq.at[da + 3 : da + 6].set(axis * angle)
+        n = jnp.sqrt(jnp.sum(vec * vec) + 1e-24)
+        scale = 2.0 * jnp.arctan2(n, w) / n
+        dq = dq.at[da + 3 : da + 6].set(scale * vec)
     return dq
 
 
@@ -97,6 +101,114 @@ def solve_dare(A: jax.Array, B: jax.Array, Q: jax.Array, R: jax.Array,
     BtP = B.T @ P
     K = jnp.linalg.solve(R + BtP @ B, BtP @ A)
     return K
+
+
+# ---------------------------------------------------------------------------
+# Humanoid stand-on-one-leg LQR (reference src/humanoid_lqr.jl)
+# ---------------------------------------------------------------------------
+
+def stand_setpoint(model: PhysicsModel, keyframe: str = "stand_on_left_leg",
+                   span: float = 1e-3, n_heights: int = 2001):
+    """Control set-point calibration (reference src/humanoid_lqr.jl:19-65).
+
+    Inverse dynamics at the raw keyframe carries an unphysical vertical force
+    on the unactuated root-z dof (the feet interpenetrate or float). The
+    reference sweeps root-height offsets in [-1, 1] mm and picks the one
+    whose required root-z force is smallest (:24-40); the calibrated
+    qfrc0 = mj_inverse(qpos0, qacc=0) is then mapped to actuator space with
+    the transmission-moment pseudoinverse, ctrl0 = pinv(M_act)' qfrc0
+    (:52-65). The sweep is a single vmapped+jitted batch here instead of a
+    2001-iteration host loop.
+
+    Returns (qpos0, ctrl0, info) with info = dict(height, u_vert, heights,
+    qfrc0, residual).
+    """
+    key_qpos = dict(model.keyframes)[keyframe]
+    heights = jnp.linspace(-span, span, n_heights)
+    zvel = jnp.zeros(model.nv)
+
+    def vert_force(h):
+        qpos = jnp.asarray(key_qpos).at[2].add(h)
+        st = forward(model, qpos, zvel)
+        return inverse_dynamics(model, st)[2]       # root-z dof
+
+    u_vert = jax.jit(jax.vmap(vert_force))(heights)
+    best = jnp.argmin(jnp.abs(u_vert))
+    height = heights[best]
+
+    qpos0 = jnp.asarray(key_qpos).at[2].add(height)
+    st0 = forward(model, qpos0, zvel)
+    qfrc0 = inverse_dynamics(model, st0)
+    M_act = actuator_moment(model)                  # (nu, nv)
+    # ctrl0 solves M_act^T ctrl = qfrc0 in least squares (fully-actuated
+    # below the free joint, so the actuated rows match exactly)
+    ctrl0, *_ = jnp.linalg.lstsq(M_act.T, qfrc0)
+    residual = M_act.T @ ctrl0 - qfrc0
+    info = dict(height=float(height), u_vert=np.asarray(u_vert),
+                heights=np.asarray(heights), qfrc0=np.asarray(qfrc0),
+                residual=np.asarray(residual))
+    return np.asarray(qpos0), np.asarray(ctrl0), info
+
+
+def humanoid_balance_Q(model: PhysicsModel, qpos0: np.ndarray,
+                       balance_cost: float = 1000.0,
+                       balance_joint_cost: float = 3.0,
+                       other_joint_cost: float = 0.3,
+                       stance_foot: str = "foot_left") -> np.ndarray:
+    """Balance-aware Q design (reference src/humanoid_lqr.jl:81-136):
+    penalize the horizontal offset between the whole-robot CoM jacobian and
+    the stance-foot CoM jacobian (CoM over support), keep abdomen + stance-leg
+    joints stiff, leave the rest nearly free; zero cost on velocities.
+
+    The reference indexes the joint-cost blocks by *joint id* where dof
+    indices are required (src/humanoid_lqr.jl:117-121 — ids are offset by 5
+    from dof addresses past the free joint); here the dof addresses are used,
+    which is the intended design (and matches the upstream DeepMind LQR
+    notebook the script follows).
+    """
+    nv = model.nv
+    st0 = forward(model, jnp.asarray(qpos0), jnp.zeros(nv))
+    torso = model.body_id("torso")
+    foot = model.body_id(stance_foot)
+    jac_com = np.asarray(subtree_com_jacobian(model, st0, torso))
+    jac_foot = np.asarray(body_com_jacobian(model, st0, foot))
+    jac_diff = jac_com - jac_foot
+    Qbalance = jac_diff.T @ jac_diff
+
+    side = "left" if "left" in stance_foot else "right"
+    balance_dofs = []
+    for j, name in zip(model.joints, model.joint_names):
+        if j.jtype != FREE and (
+            "abdomen" in name
+            or (side in name and any(p in name for p in ("hip", "knee", "ankle")))
+        ):
+            balance_dofs.append(j.dofadr)
+    free_dofs = list(range(6))
+    other_dofs = [d for d in range(6, nv) if d not in balance_dofs]
+
+    Qjoint = np.eye(nv)
+    Qjoint[free_dofs, free_dofs] = 0.0
+    Qjoint[balance_dofs, balance_dofs] = balance_joint_cost
+    Qjoint[other_dofs, other_dofs] = other_joint_cost
+
+    Qpos = balance_cost * Qbalance + Qjoint
+    Q = np.zeros((2 * nv, 2 * nv))
+    Q[:nv, :nv] = Qpos
+    Q += 1e-10 * np.eye(2 * nv)
+    return Q
+
+
+def make_humanoid_lqr(model: PhysicsModel, keyframe: str = "stand_on_left_leg",
+                      n_heights: int = 2001):
+    """Full reference pipeline: setpoint calibration -> balance Q -> exact-AD
+    linearization -> DARE gain -> quaternion-aware feedback controller
+    (reference src/humanoid_lqr.jl end-to-end)."""
+    qpos0, ctrl0, info = stand_setpoint(model, keyframe, n_heights=n_heights)
+    Q = humanoid_balance_Q(model, qpos0)
+    controller, mats = make_lqr_controller(
+        model, qpos0, ctrl0=ctrl0, Q=Q, R=np.eye(model.nu))
+    return controller, dict(qpos0=qpos0, ctrl0=ctrl0, Q=Q, info=info,
+                            mats=mats)
 
 
 def make_lqr_controller(
