@@ -52,7 +52,10 @@ class EstimatorRunner:
     def __init__(self, asset_path: str, apply_fn, params,
                  cfg: MPPIConfig, running, terminal,
                  state_slice: Optional[int] = None, seed: int = 0):
-        self.plant_model = build_from_mjcf(asset_path)
+        # full-fidelity plant: coupled constraint tier + body-body contacts
+        # (the reference's evaluation plant is MuJoCo itself)
+        self.plant_model = build_from_mjcf(asset_path,
+                                           include_self_collisions=True)
         self.cfg = cfg
         net_dyn = make_learned_dynamics(apply_fn, params, state_slice=state_slice)
         plan = make_mppi(net_dyn, running, cfg, terminal_fn=terminal)

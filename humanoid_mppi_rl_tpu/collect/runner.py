@@ -57,17 +57,19 @@ class EpisodeRunner:
         self.init_state = init_state
         self.seed = seed
 
+        # environment plant: full-fidelity coupled tier + body-body contacts
+        # (the reference's plant is MuJoCo itself; planner rollouts keep the
+        # cheap penalty tier — PARITY.md "fidelity tiers")
+        from ..envs.tasks import load_plant
+        self.plant_model, plant_dyn = load_plant(task_name, init_state)
+
         if use_kernel:
-            # planning rollouts through the fused Pallas kernel; plant steps
-            # through the scalar path (f32-robust, see dynamics/physics.py)
-            from ..dynamics.physics import make_scalar_plant_dynamics
+            # planning rollouts through the fused Pallas kernel
             from ..ops.kernel_costs import KERNEL_COSTS
             from ..solver.kernel_mppi import make_kernel_mppi
 
             if spec.kernel_cost is None:
                 raise ValueError(f"task {task_name} has no kernel cost")
-            dynamics = make_scalar_plant_dynamics(model)
-            self.dynamics = dynamics
             _plan0 = make_kernel_mppi(
                 model, KERNEL_COSTS[spec.kernel_cost], cfg,
                 cost_kwargs=kw, block_k=min(block_k, cfg.K))
@@ -78,7 +80,7 @@ class EpisodeRunner:
 
         def control_step(ms, plant, params):
             action, ms, diag = plan(ms, plant, params)
-            new_plant = dynamics(plant, action, jnp.asarray(0))
+            new_plant = plant_dyn(plant, action, jnp.asarray(0))
             return action, ms, new_plant, diag
 
         self.control_step = jax.jit(

@@ -10,15 +10,18 @@ import jax.numpy as jnp
 from ..physics import PhysicsModel, PhysicsState, forward, step
 
 
-def make_physics_dynamics(model: PhysicsModel, substeps: int = 1):
+def make_physics_dynamics(model: PhysicsModel, substeps: int = 1,
+                          solver: str = "coupled"):
     """dynamics(state, ctrl, t) -> state, stepping the engine `substeps`
     times per control step (the reference steps once per control update,
-    reference src/cartpole_mppi.py:73)."""
+    reference src/cartpole_mppi.py:73). `solver` picks the constraint tier
+    (physics.engine.step): "coupled" for environment fidelity, "penalty"
+    for the decoupled law the Pallas rollout kernel matches."""
 
     def dynamics(state: PhysicsState, ctrl: jax.Array, t: jax.Array) -> PhysicsState:
         s = state
         for _ in range(substeps):
-            s = step(model, s, ctrl)
+            s = step(model, s, ctrl, solver=solver)
         return s
 
     return dynamics

@@ -137,7 +137,11 @@ def load_task(name: str):
             clamp_plan=True)
 
     running, terminal = spec.cost_factory(model, **spec.cost_kwargs)
-    dynamics = make_physics_dynamics(model)
+    # planner-tier dynamics: decoupled penalty constraints, floor contacts
+    # only — the law the Pallas rollout kernel implements, cheap across
+    # K-lane rollouts. The environment plant uses the full-fidelity coupled
+    # tier with body-body contacts (load_plant).
+    dynamics = make_physics_dynamics(model, solver="penalty")
 
     if spec.init_keyframe is not None:
         qpos0 = dict(model.keyframes)[spec.init_keyframe]
@@ -154,3 +158,26 @@ def load_task(name: str):
         dynamics, init_state = spec.state_wrapper(model)(dynamics, init_state)
 
     return spec, model, dynamics, running, terminal, init_state, cfg
+
+
+def load_plant(name: str, init_state=None):
+    """Full-fidelity environment plant for a task: the coupled constraint
+    tier (MuJoCo-QP analog) with body-body self-collision pairs enabled —
+    the analog of the reference's MuJoCo plant (planner models stay
+    floor-only/penalty for rollout speed; PARITY.md "fidelity tiers").
+
+    Returns (plant_model, plant_dynamics); when the task has a state
+    wrapper, `init_state` must be the UNWRAPPED PhysicsState (or the wrapped
+    state, whose .phys is used) so the wrapped plant dynamics can be built.
+    """
+    from ..dynamics.physics import make_physics_dynamics
+    from ..physics import build_from_mjcf
+
+    spec = TASKS[name]
+    plant_model = build_from_mjcf(spec.asset_path(),
+                                  include_self_collisions=True)
+    dyn = make_physics_dynamics(plant_model, solver="coupled")
+    if spec.state_wrapper is not None:
+        phys = getattr(init_state, "phys", init_state)
+        dyn, _ = spec.state_wrapper(plant_model)(dyn, phys)
+    return plant_model, dyn

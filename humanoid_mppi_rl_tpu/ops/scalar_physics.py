@@ -58,6 +58,27 @@ def _is_const(x) -> bool:
     return isinstance(x, (int, float))
 
 
+def _imp_scalar(viol, solimp):
+    """Scalar MuJoCo solimp impedance spline d(r); `viol` is a (B,) lane
+    scalar, `solimp` a static (5,) numpy array (see physics.contact.impedance
+    for the batched form this mirrors)."""
+    d0, dmax, width, mid, power = [float(v) for v in solimp]
+    x = jnp.clip(viol / width, 0.0, 1.0)
+    lo = mid * (x / mid) ** power
+    hi = 1.0 - (1.0 - mid) * ((1.0 - x) / (1.0 - mid)) ** power
+    s = jnp.where(x < mid, lo, hi)
+    return d0 + s * (dmax - d0)
+
+
+def _solref_kb_scalar(solref, solimp):
+    """Static (k_base, b_ref) floats from solref/solimp (see
+    physics.contact.solref_kb)."""
+    tau, zeta = float(solref[0]), float(solref[1])
+    dmax = float(solimp[1])
+    assert tau > 0, "direct (negative) solref not supported"
+    return 1.0 / (dmax * dmax * tau * tau * zeta * zeta), 2.0 / (dmax * tau)
+
+
 def qmul(a: Quat, b: Quat) -> Quat:
     w1, x1, y1, z1 = a
     w2, x2, y2, z2 = b
@@ -458,6 +479,8 @@ def scalar_step(
             th = jnp.tanh(qvel[d] / w_fl)
             tau[d] = tau[d] - fl * th
             g_diag[d] = g_diag[d] + fl / w_fl * (1.0 - th * th)
+    hs_meff = {int(d): float(me)
+               for d, me in zip(model.hs_dofadr, model.hs_limit_meff)}
     for jnt in model.joints:
         if jnt.jtype not in (SLIDE, HINGE):
             continue
@@ -465,16 +488,23 @@ def scalar_step(
         if jnt.stiffness:
             tau[d] = tau[d] - float(jnt.stiffness) * (qpos[qa] - float(jnt.springref))
         if jnt.limited:
-            m_d = float(model.dof_Mdiag0[d])
-            tc, zeta = model.limit_timeconst, model.limit_dampratio
-            k_l = m_d / (tc * tc)
-            c_l = 2.0 * zeta * m_d / tc
+            # solref/solimp-matched limit force with a0=0 (the "penalty"
+            # engine tier — engine._limit_force with qacc0 dropped)
+            meff = float(hs_meff[d])
+            k_base, b_ref = _solref_kb_scalar(jnt.solref, jnt.solimp)
             lo, hi = float(jnt.range[0]), float(jnt.range[1])
             below = jnp.maximum(lo - qpos[qa], 0.0)
             above = jnp.maximum(qpos[qa] - hi, 0.0)
-            active = ((below > 0) | (above > 0)).astype(below.dtype)
-            tau[d] = tau[d] + k_l * (below - above) - c_l * qvel[d] * active
-            g_diag[d] = g_diag[d] + c_l * active
+            viol = below + above
+            s_dir = jnp.sign(below - above)
+            active = (viol > 0).astype(viol.dtype)
+            d_r = _imp_scalar(viol, jnt.solimp)
+            f_l = jnp.maximum(
+                meff * d_r * (d_r * k_base * viol - b_ref * (s_dir * qvel[d])),
+                0.0) * active
+            c_l = meff * d_r * b_ref * active
+            tau[d] = tau[d] + s_dir * f_l
+            g_diag[d] = g_diag[d] + c_l
 
     # fixed tendons
     tendon_G: List[Tuple[np.ndarray, object]] = []
@@ -487,26 +517,29 @@ def scalar_step(
         dof2q = {j.dofadr: j.qposadr for j in model.joints if j.jtype in (SLIDE, HINGE)}
         L = sum(float(coef[d]) * qpos[dof2q[d]] for d in nz)
         Ldot = sum(float(coef[d]) * qvel[d] for d in nz)
-        m_t = float(np.sum(coef**2 * model.dof_Mdiag0))
-        tc, zeta = model.limit_timeconst, model.limit_dampratio
-        k_t = m_t / (tc * tc)
-        c_t = 2.0 * zeta * m_t / tc
+        m_t = float(model.tendon_limit_meff[t])
+        k_base, b_ref = _solref_kb_scalar(model.tendon_limit_solref[t],
+                                          model.tendon_limit_solimp[t])
         lo, hi = float(model.tendon_range[t, 0]), float(model.tendon_range[t, 1])
         below = jnp.maximum(lo - L, 0.0)
         above = jnp.maximum(L - hi, 0.0)
-        active = ((below > 0) | (above > 0)).astype(below.dtype)
-        f_t = k_t * (below - above) - c_t * Ldot * active
+        viol = below + above
+        s_dir = jnp.sign(below - above)
+        active = (viol > 0).astype(viol.dtype)
+        d_r = _imp_scalar(viol, model.tendon_limit_solimp[t])
+        f_t = s_dir * jnp.maximum(
+            m_t * d_r * (d_r * k_base * viol - b_ref * (s_dir * Ldot)),
+            0.0) * active
+        c_t = m_t * d_r * b_ref * active
         for d in nz:
             tau[d] = tau[d] + float(coef[d]) * f_t
-        tendon_G.append((coef, c_t * active))
+        tendon_G.append((coef, c_t))
 
     # --- contacts ---------------------------------------------------------
     # plane-vs-primitive candidate points; normal force + regularized
     # friction as explicit forces, and per-body damping matrices D_b
     # (B_p^T C B_p summed over the body's points) for the implicit term.
     _VT_EPS = 5e-3
-    k_c = float(model.contact_stiffness)
-    c_c = float(model.contact_damping)
     for pair in model.contact_pairs:
         g1 = model.geoms[pair.geom1]
         g2 = model.geoms[pair.geom2]
@@ -558,6 +591,10 @@ def scalar_step(
         else:  # pragma: no cover
             raise NotImplementedError
 
+        # solref/solimp-matched decoupled contact law (the "penalty" engine
+        # tier — physics.contact.contact_terms with qacc0 dropped)
+        k_base, b_ref = _solref_kb_scalar(pair.solref, pair.solimp)
+        meff_c = float(pair.m_eff)
         Vb = V[b]
         wb, v0b = Vb[0:3], Vb[3:6]
         for point, phi in pts:
@@ -566,7 +603,10 @@ def scalar_step(
             vt = sub3(v_pt, scl3(n_c, vn))
             pen = jnp.maximum(-phi, 0.0)
             active = (phi < 0.0).astype(pen.dtype)
-            fn = jnp.maximum(k_c * pen - c_c * vn, 0.0) * active
+            d_r = _imp_scalar(pen, pair.solimp)
+            c_n = meff_c * d_r * b_ref
+            fn = jnp.maximum(
+                meff_c * d_r * d_r * k_base * pen - c_n * vn, 0.0) * active
             vt_norm = jnp.sqrt(dot3(vt, vt) + _VT_EPS * _VT_EPS)
             ct = mu * fn / vt_norm if mu else 0.0
             f = sub3(scl3(n_c, fn), scl3(vt, ct) if mu else (0.0, 0.0, 0.0))
@@ -576,7 +616,7 @@ def scalar_step(
             # with u_a = [row_a(-skew(p)); e_a] and C in the contact frame
             # (normal n): use world axes when n is world-z (the common case);
             # otherwise build the frame from n.
-            cn_eff = c_c * active
+            cn_eff = c_n * active
             ct_eff = ct * active if mu else 0.0
             px, py, pz = point
             if n_c == (0.0, 0.0, 1.0):

@@ -1,4 +1,5 @@
-"""Smooth penalty contact model with implicit damping (floor contacts).
+"""Smooth penalty contact model with solref/solimp-matched impedance and
+implicit damping (floor contacts).
 
 Replaces MuJoCo's constraint solver with compliant point contacts — the
 standard trick for a vmappable, branch-free JAX step. Primitives vs a static
@@ -6,20 +7,41 @@ plane: sphere (1 point), capsule (2 endpoint spheres), box (8 corners).
 Candidate pairs are precomputed statically (model.build_from_mjcf); every
 point always contributes, gated to zero when separated.
 
-Stability: stiff penalty springs on light bodies (a ~1 kg humanoid foot
-supporting a 40 kg body) are explicitly unstable at dt=5 ms, so damping is
+Force law: MuJoCo's soft-constraint dynamics pursued at force level. MuJoCo
+drives each contact toward the reference acceleration
+
+    aref = -b vn + k(r) pen,   b = 2/(dmax tau),  k(r) = d(r)/(dmax^2 tau^2 zeta^2)
+
+with (tau, zeta) = the pair's solref, d(r) the solimp impedance spline of the
+penetration, and resolves it through the regularized solve
+f = (aref - a0)/(A + R), A = J M^-1 J^T, R = (1-d)/d * A, which collapses to
+f = d(r) * m_eff * aref with m_eff = 1/A. We evaluate exactly that, with
+m_eff frozen at its qpos0 value (model.ContactPair.m_eff) and the
+unconstrained acceleration a0 dropped — the penalty approximation. Matching
+the per-pair impedance instead of a global stiffness heuristic roughly
+halves the one-step qpos error vs the MuJoCo C oracle on contact-active
+frames (scripts/dev_contact_fidelity.py).
+
+Stability: stiff springs on light bodies (a ~1 kg humanoid foot supporting a
+40 kg body) are explicitly unstable at dt=5 ms, so the damping part is
 handled *implicitly*: each active contact point contributes
 
-    force(v+) = k * pen * n - C v+ ,   C = c_n n n^T + c_t (1 - n n^T)
+    force(v+) = fn_spring * n - C v+ ,   C = c_n n n^T + c_t (1 - n n^T)
 
-with c_t = mu * fn / sqrt(|vt|^2 + eps^2) (regularized Coulomb slope). The
-engine folds h * J^T C J into the same (M + h D) factorization it already
-does for MuJoCo-style implicit joint damping, which makes arbitrarily stiff
-contact damping unconditionally stable, while the spring term stays explicit.
+with c_n = m_eff d(r) b and c_t = mu * fn / sqrt(|vt|^2 + eps^2) (regularized
+Coulomb slope). The engine folds h * J^T C J into the same (M + h D)
+factorization it already does for MuJoCo-style implicit joint damping, which
+makes arbitrarily stiff contact damping unconditionally stable, while the
+spring term stays explicit.
 
 contact_terms() returns:
-  F      (nbody, 6)  explicit spatial forces (spring + damping at current v)
+  tau    (nv,)       generalized explicit contact force sum_p J_p^T f_p
   G      (nv, nv)    sum_p J_p^T C_p J_p  to be added as  M += h * G
+
+Contact sources: static-plane points (always-on candidate rows, gated by
+penetration) and body-body "self" pairs (segment-segment narrowphase over
+all candidate pairs, penetration-ranked top-K selection for a static row
+count — see _self_rows).
 """
 
 from __future__ import annotations
@@ -35,6 +57,39 @@ from .model import GEOM_BOX, GEOM_CAPSULE, GEOM_PLANE, GEOM_SPHERE, PhysicsModel
 _VT_EPS = 5e-3  # m/s tangential regularization (implicit => can be small)
 
 
+def impedance(pen: jax.Array, solimp) -> jax.Array:
+    """MuJoCo solimp impedance spline d(r) (mj docs "Solver parameters"):
+    sigmoid from d0 to dmax over `width` of violation. `pen` (P,) traced,
+    `solimp` (P, 5) static numpy."""
+    import numpy as np
+
+    si = np.asarray(solimp, dtype=np.float64)
+    d0, dmax, width, mid, power = (si[:, 0], si[:, 1], si[:, 2], si[:, 3],
+                                   si[:, 4])
+    dt = pen.dtype
+    x = jnp.clip(pen / jnp.asarray(width, dt), 0.0, 1.0)
+    mid_j = jnp.asarray(mid, dt)
+    pow_j = jnp.asarray(power, dt)
+    lo = mid_j * (x / mid_j) ** pow_j
+    hi = 1.0 - (1.0 - mid_j) * ((1.0 - x) / (1.0 - mid_j)) ** pow_j
+    s = jnp.where(x < mid_j, lo, hi)
+    return jnp.asarray(d0, dt) + s * jnp.asarray(dmax - d0, dt)
+
+
+def solref_kb(solref, solimp):
+    """Static per-point (k_base, b) numpy arrays from solref/solimp:
+    aref = -b*vn + d(r)*k_base*pen (positive-solref convention only)."""
+    import numpy as np
+
+    sr = np.asarray(solref, dtype=np.float64)
+    dmax = np.asarray(solimp, dtype=np.float64)[:, 1]
+    tau, zeta = sr[:, 0], sr[:, 1]
+    assert (tau > 0).all(), "direct (negative) solref not supported"
+    b = 2.0 / (dmax * tau)
+    k_base = 1.0 / (dmax * dmax * tau * tau * zeta * zeta)
+    return k_base, b
+
+
 def _geom_world(model: PhysicsModel, state, gidx: int, dtype):
     g = model.geoms[gidx]
     b = g.bodyid
@@ -44,11 +99,189 @@ def _geom_world(model: PhysicsModel, state, gidx: int, dtype):
     return pos, R
 
 
-def contact_terms(model: PhysicsModel, state, S: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Explicit contact forces per body + implicit damping matrix.
+# ---------------------------------------------------------------------------
+# body-body (self) contacts: batched segment-segment narrowphase + top-K
+# ---------------------------------------------------------------------------
 
-    All candidate points are stacked and processed in one batched computation
-    (P points, typically 20-40 for the task robots).
+# static cap on simultaneously-active self contacts kept as QP/penalty rows;
+# candidates are ranked by penetration depth each step (lax.top_k), so the
+# row count stays shape-static while the candidate set can be large (697
+# candidate pairs on Go1). Deeper-than-K pile-ups are a documented
+# approximation.
+SELF_TOPK = 8
+
+
+def _self_pair_static(model: PhysicsModel):
+    """Static numpy arrays for every capsule/sphere(-like) self pair.
+
+    Spheres are segments of half-length 0; cylinders are approximated as
+    capsules (documented — Go1 hip cylinders); box self pairs are skipped
+    (Go1 trunk; MuJoCo box-capsule narrowphase is out of round scope)."""
+    import numpy as np
+
+    ok_types = (GEOM_SPHERE, GEOM_CAPSULE, 5)  # 5 = mjGEOM_CYLINDER
+    idx, skipped = [], 0
+    for k, pair in enumerate(model.contact_pairs):
+        g1 = model.geoms[pair.geom1]
+        g2 = model.geoms[pair.geom2]
+        if g1.gtype == GEOM_PLANE or g2.gtype == GEOM_PLANE:
+            continue
+        if g1.gtype not in ok_types or g2.gtype not in ok_types:
+            skipped += 1
+            continue
+        idx.append(k)
+    if not idx:
+        return None
+
+    def geom_arrs(which):
+        gs = [model.geoms[getattr(model.contact_pairs[k], which)] for k in idx]
+        return (
+            np.array([g.bodyid for g in gs]),
+            np.stack([g.pos for g in gs]),
+            np.stack([g.quat for g in gs]),
+            np.array([g.size[0] for g in gs]),                 # radius
+            np.array([g.size[1] if g.gtype in (GEOM_CAPSULE, 5) else 0.0
+                      for g in gs]),                           # half-length
+            np.array([g.gtype in (GEOM_CAPSULE, 5) for g in gs]),
+        )
+
+    b1, pos1, quat1, r1, h1, iscap1 = geom_arrs("geom1")
+    b2, pos2, quat2, r2, h2, iscap2 = geom_arrs("geom2")
+    prs = [model.contact_pairs[k] for k in idx]
+    solref = np.stack([p.solref for p in prs])
+    solimp = np.stack([p.solimp for p in prs])
+    return dict(
+        b1=b1, b2=b2, pos1=pos1, quat1=quat1, r1=r1, h1=h1, iscap1=iscap1,
+        pos2=pos2, quat2=quat2, r2=r2, h2=h2, iscap2=iscap2,
+        mu=np.array([p.mu if p.condim > 1 else 0.0 for p in prs]),
+        meff=np.array([p.m_eff for p in prs]),
+        solref=solref, solimp=solimp, capcap=iscap1 & iscap2,
+    )
+
+
+def _self_rows(model: PhysicsModel, state, S: jax.Array, dtype, topk: int):
+    """Top-K self-contact rows: narrowphase over all candidate pairs,
+    penetration-ranked static-shape selection, relative point jacobians.
+
+    Narrowphase: every sphere/capsule is a segment + radius; closest points
+    by the clamped two-pass segment-segment solve (matches the MuJoCo C
+    oracle's capsule-capsule dist/pos/normal to ~1e-15, scripts/
+    dev_contact_fidelity.py). Contact frame tangent t1 follows the oracle's
+    conventions: capsule-capsule t1 = normalize(n x axis2), otherwise
+    Gram-Schmidt of world z against n.
+    """
+    import numpy as np
+
+    sp_ = _self_pair_static(model)
+    if sp_ is None:
+        return None
+    Pc = sp_["b1"].shape[0]
+    topk = min(topk, Pc)
+
+    def world(bids, lpos, lquat):
+        xq = state.xquat[jnp.asarray(bids)]                  # (Pc, 4)
+        xp = state.xpos[jnp.asarray(bids)]
+        q = sp.quat_mul(xq, jnp.asarray(lquat, dtype))
+        p = xp + sp.quat_rotate(xq, jnp.asarray(lpos, dtype))
+        ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+        u = sp.quat_rotate(q, jnp.broadcast_to(ez, (bids.shape[0], 3)))
+        return p, u
+
+    p1, u1 = world(sp_["b1"], sp_["pos1"], sp_["quat1"])
+    p2, u2 = world(sp_["b2"], sp_["pos2"], sp_["quat2"])
+    hh1 = jnp.asarray(sp_["h1"], dtype)
+    hh2 = jnp.asarray(sp_["h2"], dtype)
+
+    # clamped segment-segment closest points (two refinement passes)
+    d12 = p2 - p1
+    bb = jnp.sum(u1 * u2, axis=-1)
+    dd = jnp.sum(u1 * d12, axis=-1)
+    ee = jnp.sum(u2 * d12, axis=-1)
+    den = jnp.maximum(1.0 - bb * bb, 1e-12)
+    s = jnp.clip((dd - bb * ee) / den, -hh1, hh1)
+    t = jnp.clip(jnp.sum(u2 * (p1 + s[:, None] * u1 - p2), -1), -hh2, hh2)
+    s = jnp.clip(jnp.sum(u1 * (p2 + t[:, None] * u2 - p1), -1), -hh1, hh1)
+    t = jnp.clip(jnp.sum(u2 * (p1 + s[:, None] * u1 - p2), -1), -hh2, hh2)
+    c1 = p1 + s[:, None] * u1
+    c2 = p2 + t[:, None] * u2
+
+    dvec = c2 - c1
+    dist = jnp.sqrt(jnp.sum(dvec * dvec, -1) + 1e-24)
+    n = dvec / dist[:, None]                                  # geom1 -> geom2
+    rr = jnp.asarray(sp_["r1"] + sp_["r2"], dtype)
+    phi = dist - rr
+    pos = c1 + n * (jnp.asarray(sp_["r1"], dtype) + 0.5 * phi)[:, None]
+
+    # contact-frame tangent (oracle conventions, see docstring)
+    ez = jnp.asarray([0.0, 0.0, 1.0], dtype)
+    ey = jnp.asarray([0.0, 1.0, 0.0], dtype)
+    gs_z = ez - n[:, 2:3] * n
+    gs_y = ey - n[:, 1:2] * n
+    gs = jnp.where((jnp.linalg.norm(gs_z, axis=-1) > 1e-6)[:, None], gs_z, gs_y)
+    gs = gs / jnp.linalg.norm(gs, axis=-1, keepdims=True)
+    cx = jnp.cross(n, u2)
+    cx_ok = (jnp.linalg.norm(cx, axis=-1) > 1e-8)[:, None]
+    cx = jnp.where(cx_ok, cx, gs)
+    cx = cx / jnp.linalg.norm(cx, axis=-1, keepdims=True)
+    capcap = jnp.asarray(sp_["capcap"], bool)[:, None]
+    t1 = jnp.where(capcap, cx, gs)
+
+    pen_all = jnp.maximum(-phi, 0.0)
+    # pre-gather per-candidate impedance terms (static solimp handling)
+    d_r_all = impedance(pen_all, sp_["solimp"]).astype(dtype)
+    kb_all, br_all = solref_kb(sp_["solref"], sp_["solimp"])   # static np
+
+    _, sel = jax.lax.top_k(pen_all, topk)                     # (K,) traced
+
+    def g(x):
+        return x[sel]
+
+    pen, d_r = g(pen_all), g(d_r_all)
+    active = (g(phi) < 0.0).astype(dtype)
+    n_k, t1_k, pos_k = g(n), g(t1), g(pos)
+    t2_k = jnp.cross(n_k, t1_k)
+    bid1 = jnp.asarray(sp_["b1"])[sel]
+    bid2 = jnp.asarray(sp_["b2"])[sel]
+
+    # relative point velocity and jacobian (force on body2 along +n,
+    # reaction on body1): J = J_pt(b2) - J_pt(b1)
+    V1 = state.body_vel[bid1]
+    V2 = state.body_vel[bid2]
+    v_rel = (V2[:, 3:] + jnp.cross(V2[:, :3], pos_k)
+             - V1[:, 3:] - jnp.cross(V1[:, :3], pos_k))
+    vn = jnp.sum(n_k * v_rel, -1)
+    vt = v_rel - vn[:, None] * n_k
+    vt1 = jnp.sum(t1_k * v_rel, -1)
+    vt2 = jnp.sum(t2_k * v_rel, -1)
+
+    Amask = jnp.asarray(model.ancestor_mask, dtype)
+    Arel = Amask[bid2] - Amask[bid1]                          # (K, nv)
+    S_ang, S_lin = S[:, :3], S[:, 3:]
+    cross_Sp = jnp.cross(S_ang[None, :, :], pos_k[:, None, :])
+    Jp = (S_lin[None] + cross_Sp) * Arel[:, :, None]          # (K, nv, 3)
+    JpN = jnp.sum(Jp * n_k[:, None, :], -1)
+    Jt1 = jnp.sum(Jp * t1_k[:, None, :], -1)
+    Jt2 = jnp.sum(Jp * t2_k[:, None, :], -1)
+
+    kb = jnp.asarray(kb_all, dtype)[sel]
+    br = jnp.asarray(br_all, dtype)[sel]
+    meff = jnp.asarray(sp_["meff"], dtype)[sel]
+    mu = jnp.asarray(sp_["mu"], dtype)[sel]
+    c_n = meff * d_r * br
+    vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1) + _VT_EPS * _VT_EPS)
+
+    return dict(pen=pen, active=active, n=n_k, vn=vn, vt=vt, vt1=vt1,
+                vt2=vt2, vt_norm=vt_norm, Jp=Jp, JpN=JpN, Jt1=Jt1, Jt2=Jt2,
+                d_r=d_r, c_n=c_n, mu=mu, k_base=kb, b_ref=br, meff=meff)
+
+
+def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
+    """Stack all candidate plane-contact points into row arrays.
+
+    Returns None when the model has no plane pairs, else a dict with traced
+    arrays (p, pen, active, n, vn, vt, vt_norm, Jp, JpN, d_r, c_n) and static
+    numpy arrays (bid, mu, k_base, b_ref, meff). P points, typically 20-40
+    for the task robots, in one batched computation.
     """
     dtype = state.qpos.dtype
 
@@ -57,6 +290,24 @@ def contact_terms(model: PhysicsModel, state, S: jax.Array) -> Tuple[jax.Array, 
     phis: List[jax.Array] = []
     normals: List[jax.Array] = []
     mus: List[float] = []
+    solrefs: List = []
+    solimps: List = []
+    meffs: List[float] = []
+
+    tangents: List[jax.Array] = []
+
+    def _make_frame_tangent(n):
+        """mju_makeFrame tangent convention: t1 = normalize(n x e_x), with
+        e_y fallback when n ~ e_x (verified against the MuJoCo C oracle for
+        sphere/plane contacts, scripts/dev_contact_fidelity.py)."""
+        ex = jnp.asarray([1.0, 0.0, 0.0], dtype)
+        ey = jnp.asarray([0.0, 1.0, 0.0], dtype)
+        c1 = jnp.cross(n, ex)
+        c2 = jnp.cross(n, ey)
+        n1 = jnp.linalg.norm(c1)
+        use1 = n1 > 1e-8
+        t = jnp.where(use1, c1, c2)
+        return t / jnp.linalg.norm(t)
 
     for pair in model.contact_pairs:
         g1 = model.geoms[pair.geom1]
@@ -71,74 +322,167 @@ def contact_terms(model: PhysicsModel, state, S: jax.Array) -> Tuple[jax.Array, 
         b = g2.bodyid
         size = jnp.asarray(g2.size, dtype)
 
-        def add(point, phi):
+        def add(point, phi, t1):
             body_ids.append(b)
             points.append(point)
             phis.append(phi)
             normals.append(n)
+            tangents.append(t1)
             mus.append(mu)
+            solrefs.append(pair.solref)
+            solimps.append(pair.solimp)
+            meffs.append(pair.m_eff)
 
         if g2.gtype == GEOM_SPHERE:
             r = size[0]
-            add(g_pos - n * r, jnp.dot(n, g_pos - p_pos) - r)
+            add(g_pos - n * r, jnp.dot(n, g_pos - p_pos) - r,
+                _make_frame_tangent(n))
         elif g2.gtype == GEOM_CAPSULE:
             r, hl = size[0], size[1]
             axis = g_R[:, 2]
+            # MuJoCo plane-capsule frame: t1 = capsule axis projected onto
+            # the plane (falls back to makeFrame when the capsule stands
+            # perpendicular)
+            proj = axis - jnp.dot(axis, n) * n
+            pn = jnp.linalg.norm(proj)
+            t1_cap = jnp.where(pn > 1e-8, proj / jnp.maximum(pn, 1e-30),
+                               _make_frame_tangent(n))
             for sgn in (-1.0, 1.0):
                 c_end = g_pos + sgn * hl * axis
-                add(c_end - n * r, jnp.dot(n, c_end - p_pos) - r)
+                add(c_end - n * r, jnp.dot(n, c_end - p_pos) - r, t1_cap)
         elif g2.gtype == GEOM_BOX:
+            t1_box = _make_frame_tangent(n)
             for sx in (-1.0, 1.0):
                 for sy in (-1.0, 1.0):
                     for sz in (-1.0, 1.0):
                         corner = g_pos + g_R @ (size * jnp.asarray([sx, sy, sz], dtype))
-                        add(corner, jnp.dot(n, corner - p_pos))
+                        add(corner, jnp.dot(n, corner - p_pos), t1_box)
         else:  # pragma: no cover
             raise NotImplementedError(f"plane vs geom type {g2.gtype}")
 
-    if not points:
-        return (
-            jnp.zeros((model.nbody, 6), dtype),
-            jnp.zeros((model.nv, model.nv), dtype),
-        )
+    import numpy as np
 
-    bid = jnp.asarray(body_ids)                       # (P,)
-    p = jnp.stack(points)                             # (P, 3)
-    phi = jnp.stack(phis)                             # (P,)
-    n = jnp.stack(normals)                            # (P, 3)
-    mu = jnp.asarray(mus, dtype)                      # (P,)
+    self_rows = _self_rows(model, state, S, dtype, SELF_TOPK)
+    if not points and self_rows is None:
+        return None
 
-    V = state.body_vel[bid]                           # (P, 6)
-    v_pt = V[:, 3:] + jnp.cross(V[:, :3], p)          # (P, 3)
-    vn = jnp.sum(n * v_pt, axis=-1)                   # (P,)
-    vt = v_pt - vn[:, None] * n
+    plane = None
+    if points:
+        bid = np.asarray(body_ids)                        # (P,) static
+        p = jnp.stack(points)                             # (P, 3)
+        phi = jnp.stack(phis)                             # (P,)
+        n = jnp.stack(normals)                            # (P, 3)
 
-    k = jnp.asarray(model.contact_stiffness, dtype)
-    c_n = jnp.asarray(model.contact_damping, dtype)
-    pen = jnp.maximum(-phi, 0.0)
-    active = (phi < 0.0).astype(dtype)
+        t1 = jnp.stack(tangents)                          # (P, 3)
+        t2 = jnp.cross(n, t1)                             # (P, 3)
 
-    fn = jnp.maximum(k * pen - c_n * vn, 0.0) * active
-    vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + _VT_EPS * _VT_EPS)
-    c_t = mu * fn / vt_norm                            # Coulomb slope (P,)
-    ft = -c_t[:, None] * vt
+        V = state.body_vel[jnp.asarray(bid)]              # (P, 6)
+        v_pt = V[:, 3:] + jnp.cross(V[:, :3], p)          # (P, 3)
+        vn = jnp.sum(n * v_pt, axis=-1)                   # (P,)
+        vt = v_pt - vn[:, None] * n
+        vt1 = jnp.sum(t1 * v_pt, axis=-1)
+        vt2 = jnp.sum(t2 * v_pt, axis=-1)
 
-    f = fn[:, None] * n + ft                           # (P, 3)
-    F_pts = sp.force_at_point(f, p)                    # (P, 6)
-    F = jnp.zeros((model.nbody, 6), dtype).at[bid].add(F_pts)
+        pen = jnp.maximum(-phi, 0.0)
+        active = (phi < 0.0).astype(dtype)
 
-    # --- implicit damping matrix ------------------------------------------
-    # J_p (P, 3, nv): point velocity jacobian, J[:, :, d] = A[b,d] *
-    # (S_lin[d] + S_ang[d] x p)
-    A = jnp.asarray(model.ancestor_mask, dtype)[bid]   # (P, nv)
-    S_ang, S_lin = S[:, :3], S[:, 3:]                  # (nv, 3)
-    cross_Sp = jnp.cross(S_ang[None, :, :], p[:, None, :])   # (P, nv, 3)
-    Jp = (S_lin[None] + cross_Sp) * A[:, :, None]      # (P, nv, 3)
-    # C_p = c_n n n^T + c_t (1 - n n^T), both gated by `active`
-    cn_eff = c_n * active
-    ct_eff = c_t * active
-    JpN = jnp.sum(Jp * n[:, None, :], axis=-1)         # (P, nv) normal rows
+        # point jacobians: J_p (P, nv, 3), J[:, d] = A[b,d] * (S_lin[d] +
+        # S_ang[d] x p); JpN/Jt1/Jt2 (P, nv) the contact-frame rows
+        A = jnp.asarray(model.ancestor_mask, dtype)[jnp.asarray(bid)]  # (P, nv)
+        S_ang, S_lin = S[:, :3], S[:, 3:]                  # (nv, 3)
+        cross_Sp = jnp.cross(S_ang[None, :, :], p[:, None, :])   # (P, nv, 3)
+        Jp = (S_lin[None] + cross_Sp) * A[:, :, None]      # (P, nv, 3)
+        JpN = jnp.sum(Jp * n[:, None, :], axis=-1)         # (P, nv)
+        Jt1 = jnp.sum(Jp * t1[:, None, :], axis=-1)        # (P, nv)
+        Jt2 = jnp.sum(Jp * t2[:, None, :], axis=-1)        # (P, nv)
+
+        k_base, b_ref = solref_kb(solrefs, solimps)        # static (P,)
+        d_r = impedance(pen, solimps).astype(dtype)
+        meff = jnp.asarray(np.asarray(meffs), dtype)
+        c_n = meff * d_r * jnp.asarray(b_ref, dtype)       # (P,) normal damping
+        vt_norm = jnp.sqrt(jnp.sum(vt * vt, axis=-1) + _VT_EPS * _VT_EPS)
+
+        plane = dict(pen=pen, active=active, n=n, vn=vn, vt=vt, vt1=vt1,
+                     vt2=vt2, vt_norm=vt_norm, Jp=Jp, JpN=JpN, Jt1=Jt1,
+                     Jt2=Jt2, d_r=d_r, c_n=c_n,
+                     mu=jnp.asarray(np.asarray(mus), dtype),
+                     k_base=jnp.asarray(k_base, dtype),
+                     b_ref=jnp.asarray(b_ref, dtype), meff=meff)
+
+    # merge plane + self blocks; plane rows first so their static metadata
+    # (mu_plane_static: the frictionless/friction split indices used by the
+    # coupled QP) indexes the prefix, the K self rows occupy the static
+    # suffix positions with data-dependent contents
+    if plane is None:
+        rows = {k: v for k, v in self_rows.items()}
+        rows["n_plane"] = 0
+        rows["mu_plane_static"] = np.zeros(0)
+        rows["n_self"] = self_rows["pen"].shape[0]
+        return rows
+    if self_rows is None:
+        plane["n_plane"] = plane["pen"].shape[0]
+        plane["mu_plane_static"] = np.asarray(mus)
+        plane["n_self"] = 0
+        return plane
+    merged = {
+        k: jnp.concatenate([plane[k], self_rows[k]], axis=0)
+        for k in plane
+    }
+    merged["n_plane"] = plane["pen"].shape[0]
+    merged["mu_plane_static"] = np.asarray(mus)
+    merged["n_self"] = self_rows["pen"].shape[0]
+    return merged
+
+
+def contact_force_terms(model: PhysicsModel, rows, fn: jax.Array,
+                        dtype) -> Tuple[jax.Array, jax.Array]:
+    """Given solved normal forces fn (P,), produce the generalized contact
+    force tau = sum_p J_p^T f_p (normal + regularized Coulomb friction; J is
+    the RELATIVE point jacobian so body-body rows apply equal-and-opposite
+    wrenches automatically) and the implicit damping matrix G = J^T C J
+    (see module docstring)."""
+    mu = jnp.asarray(rows["mu"], dtype)
+    c_t = mu * fn / rows["vt_norm"]                   # Coulomb slope (P,)
+    ft = -c_t[:, None] * rows["vt"]
+
+    f = fn[:, None] * rows["n"] + ft                  # (P, 3) world force
+    tau = jnp.einsum("pni,pi->n", rows["Jp"], f)      # (nv,)
+
+    cn_eff = rows["c_n"] * rows["active"]
+    ct_eff = c_t * rows["active"]
+    JpN, Jp = rows["JpN"], rows["Jp"]
     # J^T C J = (c_n - c_t) (Jn)(Jn)^T + c_t J J^T
     G = jnp.einsum("p,pn,pm->nm", cn_eff - ct_eff, JpN, JpN)
     G = G + jnp.einsum("p,pni,pmi->nm", ct_eff, Jp, Jp)
-    return F, G
+    return tau, G
+
+
+def contact_terms(model: PhysicsModel, state, S: jax.Array,
+                  qacc0=None, r_form: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Decoupled per-point contact forces + implicit damping matrix (used by
+    inverse dynamics and as the "penalty" solver tier; the forward coupled
+    tier uses engine._coupled_constraint_terms):
+
+        fn = max(gain (d(r) k_base pen - b vn - a_n), 0)
+
+    with gain = d(r) m_eff and a_n the unconstrained a0 (forward reading of
+    MuJoCo's f = (aref - a0)/(A + R)), or — r_form=True, the mj_inverse
+    analog — gain = d/(1-d) m_eff and a_n the REALIZED acceleration J qacc,
+    which determines the force uniquely given the motion."""
+    dtype = state.qpos.dtype
+    rows = collect_contact_rows(model, state, S)
+    if rows is None:
+        return (
+            jnp.zeros(model.nv, dtype),
+            jnp.zeros((model.nv, model.nv), dtype),
+        )
+    a0_n = rows["JpN"] @ qacc0 if qacc0 is not None else 0.0   # (P,)
+    d_r, meff = rows["d_r"], rows["meff"]
+    gain = meff * d_r
+    if r_form:
+        gain = gain / jnp.maximum(1.0 - d_r, 1e-6)
+    fn = jnp.maximum(
+        gain * (d_r * jnp.asarray(rows["k_base"], dtype) * rows["pen"]
+                - jnp.asarray(rows["b_ref"], dtype) * rows["vn"] - a0_n), 0.0
+    ) * rows["active"]
+    return contact_force_terms(model, rows, fn, dtype)

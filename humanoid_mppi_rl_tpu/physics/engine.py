@@ -19,9 +19,12 @@ Formulation: world-frame ("origin" Plucker) operational-space algebra.
   MuJoCo's Euler integrator: qacc = (M + h*diag(damping))^{-1} f_explicit,
   qvel += h*qacc, quaternions integrated by local-frame expmap.
 
-Contacts and joint limits use smooth penalty forces (contact.py) rather than
-MuJoCo's constraint solver — the documented fidelity tradeoff for a fully
-vmappable, branch-free step (SURVEY.md §7 "hard parts").
+Contacts and joint limits come in two tiers (see `step`): the default
+"coupled" tier replicates MuJoCo's convex constraint QP (pyramidal friction
+cone, solimp regularizer, projected Gauss-Seidel — still branch-free and
+vmappable), while the "penalty" tier is the decoupled per-row impedance law
+the Pallas rollout mega-kernel implements for K=8192-lane planning
+(SURVEY.md §7 "hard parts"; fidelity numbers in PARITY.md).
 """
 
 from __future__ import annotations
@@ -226,10 +229,48 @@ def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl) -> jax.Array:
     return jnp.zeros(model.nv, dtype).at[jnp.asarray(model.act_dofadr)].add(gear * force)
 
 
+def _limit_force(viol, pos_dot, a0_pos, solref, solimp, meff, lim, dtype,
+                 r_form: bool = False):
+    """Shared solref/solimp limit force law (MuJoCo limit constraints use
+    the same soft-constraint dynamics as contacts — see contact.py):
+
+        f = max(m_eff * d(r) * (d(r) k_base viol - b pos_dot - a0_pos), 0)
+
+    viol >= 0 is the violation; pos_dot and a0_pos are the velocity and the
+    unconstrained acceleration in CONSTRAINT-space convention (pos = -viol,
+    the direction the force pushes): moving deeper into violation means
+    pos_dot < 0, which increases the force.
+
+    Two exact readings of MuJoCo's soft constraint f = (aref - a)/(A + R):
+    - forward/penalty (r_form=False): a0_pos is the UNCONSTRAINED
+      acceleration a0, and (A+R)^-1 = d(r) m_eff.
+    - inverse (r_form=True, mj_inverse analog): a0_pos is the REALIZED
+      acceleration a1 = J qacc, and the force is f = (aref - a1)/R with
+      R = (1-d)/d * 1/m_eff — uniquely determined by the given motion.
+
+    Returns (force_magnitude, implicit_damping_coefficient)."""
+    from .contact import impedance, solref_kb
+
+    k_base, b_ref = solref_kb(solref, solimp)           # static numpy
+    active = (viol > 0).astype(dtype) * lim
+    d_r = impedance(viol, solimp).astype(dtype)
+    me = jnp.asarray(meff, dtype)
+    gain = me * d_r
+    if r_form:
+        gain = gain / jnp.maximum(1.0 - d_r, 1e-6)
+    f_c = jnp.maximum(
+        gain * (d_r * jnp.asarray(k_base, dtype) * viol
+                - jnp.asarray(b_ref, dtype) * pos_dot - a0_pos),
+        0.0) * active
+    c = me * d_r * jnp.asarray(b_ref, dtype) * active
+    return f_c, c
+
+
 def _passive_forces(model: PhysicsModel, qpos, qvel):
     """Springs, dampers, smooth friction loss, joint-limit and tendon-limit
     penalties (the reference relies on MuJoCo's constraint solver for
-    limits; here they are stiff smooth penalties).
+    limits; here they are smooth penalties with solref/solimp-matched
+    impedance — see contact.py for the force law).
 
     Returns (tau, G_extra) where G_extra (nv, nv) is the velocity-derivative
     of the stiff force terms, folded into the implicit-Euler matrix by the
@@ -247,29 +288,46 @@ def _passive_forces(model: PhysicsModel, qpos, qvel):
     sech2 = 1.0 - jnp.tanh(qvel / w_fl) ** 2
     g_diag = g_diag + fl / w_fl * sech2
 
-    # springs + limit penalties over all single-dof joints, vectorized.
-    # limit scale: k = Mdiag0/tc^2, c = 2*zeta*Mdiag0/tc per dof; damping is
-    # made implicit via g_diag so stiff penalties stay stable even when the
-    # instantaneous effective inertia drops below its qpos0 value.
-    tc, zeta = model.limit_timeconst, model.limit_dampratio
+    # joint springs (smooth, not constraints)
+    if model.hs_qposadr.shape[0]:
+        qadr = jnp.asarray(model.hs_qposadr)
+        dadr = jnp.asarray(model.hs_dofadr)
+        f = -jnp.asarray(model.hs_stiffness, dtype) * (
+            qpos[qadr] - jnp.asarray(model.hs_springref, dtype))
+        tau = tau.at[dadr].add(f)
+    return tau, jnp.diag(g_diag)
+
+
+def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
+                             r_form: bool = False):
+    """Joint-limit and tendon-limit constraint penalties with a0
+    compensation (r_form=True: inverse-mode R-scaling, see _limit_force).
+    Returns (tau (nv,), G (nv, nv) implicit damping)."""
+    dtype = qpos.dtype
+    tau = jnp.zeros(model.nv, dtype)
+    g_diag = jnp.zeros(model.nv, dtype)
+    G_extra = None
+
     if model.hs_qposadr.shape[0]:
         qadr = jnp.asarray(model.hs_qposadr)
         dadr = jnp.asarray(model.hs_dofadr)
         q = qpos[qadr]
         v = qvel[dadr]
-        f = -jnp.asarray(model.hs_stiffness, dtype) * (
-            q - jnp.asarray(model.hs_springref, dtype))
+        a0 = qacc0[dadr]
         lo = jnp.asarray(model.hs_range[:, 0], dtype)
         hi = jnp.asarray(model.hs_range[:, 1], dtype)
         lim = jnp.asarray(model.hs_limited, dtype)
         below = jnp.maximum(lo - q, 0.0)
         above = jnp.maximum(q - hi, 0.0)
-        active = ((below > 0) | (above > 0)).astype(dtype) * lim
-        k_l = jnp.asarray(model.hs_limit_k, dtype)
-        c_l = jnp.asarray(model.hs_limit_c, dtype)
-        f = f + (k_l * (below - above)) * lim - c_l * v * active
-        tau = tau.at[dadr].add(f)
-        g_diag = g_diag.at[dadr].add(c_l * active)
+        viol = below + above
+        s = jnp.sign(below - above)        # push-back direction in dof space
+        # constraint-space (pos = -viol) velocity/acceleration: s * qdot
+        f_c, c_l = _limit_force(viol, s * v, s * a0,
+                                model.hs_limit_solref,
+                                model.hs_limit_solimp, model.hs_limit_meff,
+                                lim, dtype, r_form=r_form)
+        tau = tau.at[dadr].add(s * f_c)
+        g_diag = g_diag.at[dadr].add(c_l)
 
     # fixed-tendon limits (humanoid hamstrings)
     if model.tendon_coef.shape[0]:
@@ -279,19 +337,21 @@ def _passive_forces(model: PhysicsModel, qpos, qvel):
             qpos[jnp.asarray(model.hs_qposadr)])
         L = coef @ qd
         Ldot = coef @ qvel
+        La0 = coef @ qacc0
         lo = jnp.asarray(model.tendon_range[:, 0], dtype)
         hi = jnp.asarray(model.tendon_range[:, 1], dtype)
         lim = jnp.asarray(model.tendon_limited, dtype)
-        # effective inertia along each tendon direction
-        m_t = jnp.asarray(model.tendon_coef**2 @ model.dof_Mdiag0, dtype)
-        k_t = m_t / (tc * tc)
-        c_t = 2.0 * zeta * m_t / tc
         below = jnp.maximum(lo - L, 0.0)
         above = jnp.maximum(L - hi, 0.0)
-        active = ((below > 0) | (above > 0)).astype(dtype) * lim
-        f_t = k_t * (below - above) - c_t * Ldot * active
-        tau = tau + coef.T @ (f_t * lim)
-        G_extra = jnp.einsum("t,tn,tm->nm", c_t * active * lim, coef, coef)
+        viol = below + above
+        s = jnp.sign(below - above)
+        f_c, c_t = _limit_force(viol, s * Ldot, s * La0,
+                                model.tendon_limit_solref,
+                                model.tendon_limit_solimp,
+                                model.tendon_limit_meff, lim, dtype,
+                                r_form=r_form)
+        tau = tau + coef.T @ (s * f_c)
+        G_extra = jnp.einsum("t,tn,tm->nm", c_t, coef, coef)
     G = jnp.diag(g_diag)
     if G_extra is not None:
         G = G + G_extra
@@ -315,9 +375,16 @@ def inverse_dynamics(model: PhysicsModel, state: PhysicsState,
     bias = bias_forces(model, S, I, state.body_vel, qvel)
     tau_p, _ = _passive_forces(model, qpos, qvel)
     tau = tau_p
+    # constraint forces evaluated at the GIVEN motion (mujoco inverse mode:
+    # f = (aref - J qacc)/R, uniquely determined by the realized motion)
+    qacc0 = jnp.zeros(model.nv, dtype) if qacc is None else qacc
+    if bool(model.hs_limited.any() or model.tendon_limited.any()):
+        tau_l, _ = _limit_constraint_forces(model, qpos, qvel, qacc0,
+                                            r_form=True)
+        tau = tau + tau_l
     if model.contact_pairs:
-        F_c, _ = contact_terms(model, state, S)
-        tau = tau + project_forces(model, S, F_c)
+        tau_c, _ = contact_terms(model, state, S, qacc0, r_form=True)
+        tau = tau + tau_c
     out = bias - tau
     if qacc is not None:
         M = mass_matrix(model, S, I)
@@ -399,8 +466,177 @@ def _integrate_qpos(model: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
     return out
 
 
-def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array) -> PhysicsState:
-    """One physics step (mujoco mj_step analog): forward dynamics + Euler."""
+def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
+                              S, L0, qacc0, n_iter: int = 25):
+    """Coupled constraint solve: contact pyramid rows + joint/tendon limits.
+
+    Faithful analog of MuJoCo's convex constraint QP (mj docs "Computation",
+    pyramidal friction cone, the solver the reference runs through mj_step):
+
+        f = argmin_{f>=0}  1/2 f^T (A + R) f - f^T (aref - a0)
+
+    over rows
+      - contact pyramid edges J = Jn ± mu Jt_i for each tangent direction
+        (condim>1; a single Jn row when frictionless), with
+        aref = d(r) k pen - b (vn ± mu vt_i) — friction and normal forces
+        are coupled through the cone exactly as in MuJoCo,
+      - joint-limit and tendon-limit rows,
+    with A = J M^-1 J^T (plain M incl. armature) and the solimp regularizer
+    R = diag((1-d)/d A_ii). Solved with a fixed count of projected, damped
+    Jacobi iterations — branch-free, vmappable, MXU-friendly (each iteration
+    is one (C,C)@(C,) matvec with C ~ 40-100).
+
+    The solved forces are applied EXPLICITLY (tau = J^T f, no implicit
+    damping term), exactly as MuJoCo's Euler pipeline does — the QP already
+    bounds them, so no extra stabilization is needed. Returns tau (nv,).
+    """
+    from .contact import collect_contact_rows, impedance, solref_kb
+    import numpy as np
+
+    dtype = state.qpos.dtype
+    nv = model.nv
+    qpos, qvel = state.qpos, state.qvel
+
+    Js, arefs, imps, actives = [], [], [], []
+    rows = collect_contact_rows(model, state, S) if model.contact_pairs else None
+    if rows is not None:
+        kb = rows["k_base"]
+        br = rows["b_ref"]
+        base = rows["d_r"] * kb * rows["pen"]                # (P,)
+        # frictionless/friction row split must be STATIC: plane rows have
+        # static mu; the K self-row slots always get pyramid rows (their
+        # traced mu is ~always > 0 — geom friction defaults; a zero comes
+        # through as 4 coincident normal rows, a benign degeneracy)
+        mu_pl = np.asarray(rows["mu_plane_static"], dtype=np.float64)
+        fr = np.concatenate([
+            np.nonzero(mu_pl > 0)[0],
+            rows["n_plane"] + np.arange(rows["n_self"]),
+        ]).astype(np.int64)
+        nf = np.nonzero(mu_pl == 0)[0]
+        if nf.size:
+            Js.append(rows["JpN"][nf])
+            arefs.append(base[nf] - br[nf] * rows["vn"][nf])
+            imps.append(rows["d_r"][nf])
+            actives.append(rows["active"][nf])
+        if fr.size:
+            mu_f = rows["mu"][fr][:, None, None]                 # (F,1,1)
+            Jn = rows["JpN"][fr]                                 # (F, nv)
+            Jt = jnp.stack([rows["Jt1"][fr], rows["Jt2"][fr]], 1)  # (F,2,nv)
+            vt = jnp.stack([rows["vt1"][fr], rows["vt2"][fr]], 1)  # (F,2)
+            sgn = jnp.asarray([1.0, -1.0], dtype)
+            # pyramid rows (F, 2 tangents, 2 signs, nv) -> (F*4, nv)
+            Jpyr = (Jn[:, None, None, :]
+                    + mu_f[..., None] * sgn[None, None, :, None]
+                    * Jt[:, :, None, :])
+            vel = (rows["vn"][fr][:, None, None]
+                   + mu_f * sgn[None, None, :] * vt[:, :, None])   # (F,2,2)
+            aref_p = base[fr][:, None, None] - br[fr][:, None, None] * vel
+            F = fr.size
+            Js.append(Jpyr.reshape(F * 4, nv))
+            arefs.append(aref_p.reshape(F * 4))
+            rep = lambda x: jnp.repeat(x[fr], 4)
+            imps.append(rep(rows["d_r"]))
+            actives.append(rep(rows["active"]))
+
+    if model.hs_qposadr.shape[0] and model.hs_limited.any():
+        qadr = jnp.asarray(model.hs_qposadr)
+        dadr = jnp.asarray(model.hs_dofadr)
+        q, v = qpos[qadr], qvel[dadr]
+        lo = jnp.asarray(model.hs_range[:, 0], dtype)
+        hi = jnp.asarray(model.hs_range[:, 1], dtype)
+        lim = jnp.asarray(model.hs_limited, dtype)
+        below = jnp.maximum(lo - q, 0.0)
+        above = jnp.maximum(q - hi, 0.0)
+        viol = below + above
+        s = jnp.sign(below - above)
+        k_base, b_ref = solref_kb(model.hs_limit_solref, model.hs_limit_solimp)
+        d_l = impedance(viol, model.hs_limit_solimp).astype(dtype)
+        E = np.zeros((len(model.hs_dofadr), nv))
+        E[np.arange(len(model.hs_dofadr)), model.hs_dofadr] = 1.0
+        J_l = s[:, None] * jnp.asarray(E, dtype)
+        active_l = (viol > 0).astype(dtype) * lim
+        Js.append(J_l)
+        arefs.append(d_l * jnp.asarray(k_base, dtype) * viol
+                     - jnp.asarray(b_ref, dtype) * (s * v))
+        imps.append(d_l)
+        actives.append(active_l)
+
+    if model.tendon_coef.shape[0] and model.tendon_limited.any():
+        coef = jnp.asarray(model.tendon_coef, dtype)
+        qd = jnp.zeros(nv, dtype).at[jnp.asarray(model.hs_dofadr)].set(
+            qpos[jnp.asarray(model.hs_qposadr)])
+        L = coef @ qd
+        Ldot = coef @ qvel
+        lo = jnp.asarray(model.tendon_range[:, 0], dtype)
+        hi = jnp.asarray(model.tendon_range[:, 1], dtype)
+        lim = jnp.asarray(model.tendon_limited, dtype)
+        below = jnp.maximum(lo - L, 0.0)
+        above = jnp.maximum(L - hi, 0.0)
+        viol = below + above
+        s = jnp.sign(below - above)
+        k_base, b_ref = solref_kb(model.tendon_limit_solref,
+                                  model.tendon_limit_solimp)
+        d_t = impedance(viol, model.tendon_limit_solimp).astype(dtype)
+        J_t = s[:, None] * coef
+        active_t = (viol > 0).astype(dtype) * lim
+        Js.append(J_t)
+        arefs.append(d_t * jnp.asarray(k_base, dtype) * viol
+                     - jnp.asarray(b_ref, dtype) * (s * Ldot))
+        imps.append(d_t)
+        actives.append(active_t)
+
+    if not Js:
+        return jnp.zeros(nv, dtype)
+
+    J = jnp.concatenate(Js, axis=0)                    # (C, nv)
+    aref = jnp.concatenate(arefs)
+    d_all = jnp.clip(jnp.concatenate(imps), 1e-4, 0.9999)
+    active = jnp.concatenate(actives)
+
+    W = jax.scipy.linalg.cho_solve(L0, J.T)            # (nv, C) = M^-1 J^T
+    Amat = J @ W                                       # (C, C)
+    Adiag = jnp.maximum(jnp.diag(Amat), 1e-10)
+    R = (1.0 - d_all) / d_all * Adiag
+    D = Adiag + R
+    rhs = aref - J @ qacc0
+
+    C = J.shape[0]
+
+    # projected Gauss-Seidel sweeps (monotone convergent for the PSD
+    # regularized A — damped Jacobi can diverge on the strongly-coupled
+    # pyramid rows). The row scan is sequential but each op is O(C); under
+    # vmap the batch axis keeps the TPU vector units busy.
+    def row_update(f, k):
+        resid = rhs[k] - Amat[k] @ f - R[k] * f[k]
+        fk = jnp.maximum(f[k] + resid / D[k], 0.0) * active[k]
+        return f.at[k].set(fk), None
+
+    def sweep(f, _):
+        f, _ = jax.lax.scan(row_update, f, jnp.arange(C))
+        return f, None
+
+    f0 = jnp.zeros(C, dtype)
+    f, _ = jax.lax.scan(sweep, f0, None, length=n_iter)
+    return J.T @ f
+
+
+def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
+         solver: str = "coupled") -> PhysicsState:
+    """One physics step (mujoco mj_step analog): forward dynamics + Euler.
+
+    solver="coupled" (default, environment / data-collection tier):
+    two-phase constraint handling — first the smooth dynamics are solved for
+    the unconstrained acceleration qacc0, then contact normals and
+    joint/tendon limits are resolved JOINTLY by projected damped-Jacobi
+    iterations on MuJoCo's regularized constraint QP
+    (engine._coupled_constraint_terms) and the damped system is solved again.
+
+    solver="penalty" (planner tier): single-phase decoupled per-row penalty
+    with the same solref/solimp-matched impedance force law but no a0
+    compensation and no cross-row coupling (f = d(r) m_eff aref per row, see
+    contact.py). This is exactly the law the Pallas rollout mega-kernel
+    implements (ops/scalar_physics.py) — MPPI plans against this tier, the
+    environment steps with the coupled tier."""
     dtype = state.qpos.dtype
     h = model.timestep
     qpos, qvel, S = state.qpos, state.qvel, state.S
@@ -413,17 +649,32 @@ def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array) -> PhysicsSt
     tau = _actuator_forces(model, qpos, qvel, ctrl)
     tau_p, G_p = _passive_forces(model, qpos, qvel)
     tau = tau + tau_p
-    G_c = None
-    if model.contact_pairs:
-        F_c, G_c = contact_terms(model, state, S)        # (nbody,6), (nv,nv)
-        tau = tau + project_forces(model, S, F_c)
 
     # implicit-damping Euler (mujoco mj_Euler): qacc = (M + h D)^-1 f_explicit,
     # extended with implicit contact/limit/friction damping terms h*G
     Mh = M + h * jnp.diag(jnp.asarray(model.dof_damping, dtype)) + h * G_p
-    if G_c is not None:
-        Mh = Mh + h * G_c
     f = tau - bias
+
+    has_limits = bool(model.hs_limited.any() or model.tendon_limited.any())
+    if solver == "coupled" and (model.contact_pairs or has_limits):
+        # phase 1: unconstrained smooth acceleration against PLAIN M (incl.
+        # armature) — MuJoCo's qacc_smooth; damping acts explicitly in f
+        Lp = jax.scipy.linalg.cho_factor(M)
+        qacc0 = jax.scipy.linalg.cho_solve(Lp, f)
+        # phase 2: coupled constraint QP at (state, qacc0); forces explicit
+        f = f + _coupled_constraint_terms(model, state, S, Lp, qacc0)
+    elif solver == "penalty":
+        if has_limits:
+            tau_l, G_l = _limit_constraint_forces(
+                model, qpos, qvel, jnp.zeros(model.nv, dtype))
+            f = f + tau_l
+            Mh = Mh + h * G_l
+        if model.contact_pairs:
+            tau_ct, G_c = contact_terms(model, state, S)
+            f = f + tau_ct
+            Mh = Mh + h * G_c
+    elif solver != "coupled":  # pragma: no cover
+        raise ValueError(f"unknown solver {solver!r}")
     L = jax.scipy.linalg.cho_factor(Mh)
     qacc = jax.scipy.linalg.cho_solve(L, f)
 

@@ -48,6 +48,8 @@ class Joint:
     range: np.ndarray     # (2,)
     stiffness: float
     springref: float      # reference position of the joint spring
+    solref: np.ndarray = None    # (2,) limit-constraint (timeconst, dampratio)
+    solimp: np.ndarray = None    # (5,) limit-constraint impedance
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,7 +75,8 @@ class Geom:
     quat: np.ndarray      # (4,) in body frame
     size: np.ndarray      # (3,)
     friction: np.ndarray  # (3,) slide/torsion/roll
-    solref: np.ndarray    # (2,)
+    solref: np.ndarray    # (2,) (timeconst, dampratio)
+    solimp: np.ndarray    # (5,) (d0, dmax, width, midpoint, power)
     margin: float
     priority: int
     condim: int
@@ -107,8 +110,13 @@ class ContactPair:
     geom2: int
     mu: float             # combined sliding friction
     solref: np.ndarray    # combined (timeconst, dampratio)
+    solimp: np.ndarray    # combined (d0, dmax, width, midpoint, power)
     condim: int
     margin: float
+    # effective inertia (kg) seen by the contact along its normal at qpos0,
+    # 1 / (J M^-1 J^T) — scales the solref/solimp impedance into a force,
+    # the penalty analog of the constraint solver's diag(A) regularizer
+    m_eff: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,6 +160,9 @@ class PhysicsModel:
     tendon_coef: np.ndarray                   # (ntendon, nv)
     tendon_range: np.ndarray                  # (ntendon, 2)
     tendon_limited: np.ndarray                # (ntendon,) bool
+    tendon_limit_solref: np.ndarray           # (ntendon, 2)
+    tendon_limit_solimp: np.ndarray           # (ntendon, 5)
+    tendon_limit_meff: np.ndarray             # (ntendon,)
 
     qpos0: np.ndarray                         # (nq,) reference configuration
     qpos_spring: np.ndarray                   # (nq,)
@@ -177,11 +188,15 @@ class PhysicsModel:
     # springs over single-dof joints
     hs_stiffness: np.ndarray      # (nhs,)
     hs_springref: np.ndarray      # (nhs,)
-    # limits over single-dof joints
+    # limits over single-dof joints: solref/solimp impedance force law with
+    # the dof's apparent inertia 1/(M^-1)_dd at qpos0 as m_eff (the penalty
+    # analog of the constraint solver's diag(A) regularizer — same as
+    # contacts, see contact.py)
     hs_limited: np.ndarray        # (nhs,) 0/1
     hs_range: np.ndarray          # (nhs, 2)
-    hs_limit_k: np.ndarray        # (nhs,) penalty stiffness (Mdiag-scaled)
-    hs_limit_c: np.ndarray        # (nhs,) penalty damping
+    hs_limit_solref: np.ndarray   # (nhs, 2)
+    hs_limit_solimp: np.ndarray   # (nhs, 5)
+    hs_limit_meff: np.ndarray     # (nhs,)
     # free joints
     free_qposadr: np.ndarray      # (nfree,) int
     free_dofadr: np.ndarray       # (nfree,) int
@@ -212,8 +227,10 @@ class PhysicsModel:
         return lo, hi
 
 
-def _can_collide(g1, g2, contype, conaffinity, bodyid, parentid, i, j) -> bool:
-    """MuJoCo's dynamic pair filter (contype/conaffinity + same-body/parent)."""
+def _can_collide(g1, g2, contype, conaffinity, bodyid, parentid, i, j,
+                 exclude_signature=()) -> bool:
+    """MuJoCo's dynamic pair filter (contype/conaffinity + same-body/parent
+    + MJCF <contact><exclude> body pairs)."""
     if bodyid[i] == bodyid[j]:
         return False
     # exclude parent-child body pairs (mujoco default filterparent)
@@ -222,6 +239,10 @@ def _can_collide(g1, g2, contype, conaffinity, bodyid, parentid, i, j) -> bool:
         # note: mujoco does not filter pairs involving the world body's
         # children via this rule when the parent is world
         if not (b1 == 0 or b2 == 0):
+            return False
+    for s in exclude_signature:
+        eb1, eb2 = int(s) >> 16, int(s) & 0xFFFF
+        if (b1, b2) in ((eb1, eb2), (eb2, eb1)):
             return False
     ok = (contype[i] & conaffinity[j]) or (contype[j] & conaffinity[i])
     return bool(ok)
@@ -268,6 +289,8 @@ def build_from_mjcf(
                 range=m.jnt_range[j].copy(),
                 stiffness=float(m.jnt_stiffness[j]),
                 springref=float(m.qpos_spring[m.jnt_qposadr[j]]) if jt in (SLIDE, HINGE) else 0.0,
+                solref=m.jnt_solref[j].copy(),
+                solimp=m.jnt_solimp[j].copy(),
             )
         )
         body_joints[int(m.jnt_bodyid[j])].append(j)
@@ -347,12 +370,37 @@ def build_from_mjcf(
                 size=m.geom_size[g].copy(),
                 friction=m.geom_friction[g].copy(),
                 solref=m.geom_solref[g].copy(),
+                solimp=m.geom_solimp[g].copy(),
                 margin=float(m.geom_margin[g]),
                 priority=int(m.geom_priority[g]),
                 condim=int(m.geom_condim[g]),
             )
         )
         geom_orig_idx.append(g)
+
+    # host-side forward at qpos0: mass matrix (limit scaling, contact m_eff)
+    d0 = mujoco.MjData(m)
+    mujoco.mj_forward(m, d0)
+    Mfull = np.zeros((nv, nv))
+    mujoco.mj_fullM(m, d0, Mfull)
+    dof_Mdiag0 = np.diag(Mfull).copy()
+
+    def _pair_m_eff(oi: int, oj: int) -> float:
+        """Effective inertia 1/(J M^-1 J^T) along the pair normal at qpos0
+        (plane pairs: plane z-axis; else line between geom centers)."""
+        jacp_i = np.zeros((3, nv))
+        jacp_j = np.zeros((3, nv))
+        mujoco.mj_jacGeom(m, d0, jacp_i, None, oi)
+        mujoco.mj_jacGeom(m, d0, jacp_j, None, oj)
+        if int(m.geom_type[oi]) == GEOM_PLANE:
+            n = d0.geom_xmat[oi].reshape(3, 3)[:, 2]
+        else:
+            dvec = d0.geom_xpos[oj] - d0.geom_xpos[oi]
+            nrm = np.linalg.norm(dvec)
+            n = dvec / nrm if nrm > 1e-9 else np.array([0.0, 0.0, 1.0])
+        Jn = n @ (jacp_j - jacp_i)
+        a = float(Jn @ np.linalg.solve(Mfull, Jn))
+        return 1.0 / max(a, 1e-8)
 
     pairs: List[ContactPair] = []
     for ii in range(len(geoms)):
@@ -361,6 +409,7 @@ def build_from_mjcf(
             if not _can_collide(
                 None, None, m.geom_contype, m.geom_conaffinity, m.geom_bodyid,
                 m.body_parentid, gi, gj,
+                exclude_signature=m.exclude_signature,
             ):
                 continue
             g1, g2 = geoms[ii], geoms[jj]
@@ -372,20 +421,26 @@ def build_from_mjcf(
                 continue
             if g1.gtype != GEOM_PLANE and not include_self_collisions:
                 continue  # round-1: floor contacts only (dominant for locomotion)
-            # friction / solref combination (mujoco: priority wins, else max/min)
+            # friction / sol-parameter combination (mujoco mj_contactParam:
+            # priority wins outright; equal priority -> max friction/condim,
+            # solmix-weighted average of solref/solimp = plain mean at the
+            # default solmix=1)
             if g1.priority != g2.priority:
                 hp = g1 if g1.priority > g2.priority else g2
                 mu = float(hp.friction[0])
                 solref = hp.solref.copy()
+                solimp = hp.solimp.copy()
                 condim = hp.condim
             else:
                 mu = float(max(g1.friction[0], g2.friction[0]))
-                solref = np.minimum(g1.solref, g2.solref)
+                solref = 0.5 * (g1.solref + g2.solref)
+                solimp = 0.5 * (g1.solimp + g2.solimp)
                 condim = max(g1.condim, g2.condim)
             pairs.append(
                 ContactPair(
-                    geom1=a, geom2=b, mu=mu, solref=solref, condim=condim,
-                    margin=max(g1.margin, g2.margin),
+                    geom1=a, geom2=b, mu=mu, solref=solref, solimp=solimp,
+                    condim=condim, margin=max(g1.margin, g2.margin),
+                    m_eff=_pair_m_eff(geom_orig_idx[a], geom_orig_idx[b]),
                 )
             )
 
@@ -394,6 +449,8 @@ def build_from_mjcf(
     tendon_coef = np.zeros((ntendon, nv))
     tendon_range = np.zeros((ntendon, 2))
     tendon_limited = np.zeros(ntendon, dtype=bool)
+    tendon_limit_solref = np.tile([0.02, 1.0], (ntendon, 1))
+    tendon_limit_solimp = np.tile([0.9, 0.95, 0.001, 0.5, 2.0], (ntendon, 1))
     for t in range(ntendon):
         adr = int(m.tendon_adr[t])
         num = int(m.tendon_num[t])
@@ -403,6 +460,15 @@ def build_from_mjcf(
                 tendon_coef[t, int(m.jnt_dofadr[jid])] = float(m.wrap_prm[w])
         tendon_range[t] = m.tendon_range[t]
         tendon_limited[t] = bool(m.tendon_limited[t])
+        tendon_limit_solref[t] = m.tendon_solref_lim[t]
+        tendon_limit_solimp[t] = m.tendon_solimp_lim[t]
+    Minv0 = np.linalg.inv(Mfull)
+    tendon_limit_meff = np.array([
+        1.0 / max(float(tendon_coef[t] @ Minv0 @ tendon_coef[t]), 1e-8)
+        for t in range(ntendon)
+    ]) if ntendon else np.zeros(0)
+    # apparent inertia per dof (limits): 1/(M^-1)_dd at qpos0
+    dof_meff0 = 1.0 / np.maximum(np.diag(Minv0), 1e-12)
 
     # --- keyframes --------------------------------------------------------
     keyframes = []
@@ -430,13 +496,6 @@ def build_from_mjcf(
     # downstream f32 array to f64 under jax_enable_x64
     contact_damping = float(2.0 * np.sqrt(contact_stiffness * total_mass))
 
-    # mass-matrix diagonal at qpos0 (for per-dof limit penalty scaling)
-    d0 = mujoco.MjData(m)
-    mujoco.mj_forward(m, d0)
-    Mfull = np.zeros((nv, nv))
-    mujoco.mj_fullM(m, d0, Mfull)
-    dof_Mdiag0 = np.diag(Mfull).copy()
-
     # ---- packed arrays ---------------------------------------------------
     inf = np.inf
     act_ctrl_lo = np.array([a.ctrlrange[0] if a.ctrllimited else -inf for a in actuators])
@@ -446,7 +505,6 @@ def build_from_mjcf(
     hs = [j for j in joints if j.jtype in (SLIDE, HINGE)]
     free_joints = [j for j in joints if j.jtype == FREE]
     limit_tc, limit_zeta = 0.02, 1.0
-    hs_Mdiag = np.array([dof_Mdiag0[j.dofadr] for j in hs]) if hs else np.zeros(0)
 
     # ---- level-synchronous FK plan ---------------------------------------
     depth = np.zeros(nbody, dtype=np.int32)
@@ -535,6 +593,9 @@ def build_from_mjcf(
         tendon_coef=tendon_coef,
         tendon_range=tendon_range,
         tendon_limited=tendon_limited,
+        tendon_limit_solref=tendon_limit_solref,
+        tendon_limit_solimp=tendon_limit_solimp,
+        tendon_limit_meff=tendon_limit_meff,
         qpos0=m.qpos0.copy(),
         qpos_spring=m.qpos_spring.copy(),
         body_names=body_names,
@@ -559,8 +620,12 @@ def build_from_mjcf(
         hs_springref=np.array([j.springref for j in hs]),
         hs_limited=np.array([1.0 if j.limited else 0.0 for j in hs]),
         hs_range=np.stack([j.range for j in hs]) if hs else np.zeros((0, 2)),
-        hs_limit_k=hs_Mdiag / (limit_tc * limit_tc),
-        hs_limit_c=2.0 * limit_zeta * hs_Mdiag / limit_tc,
+        hs_limit_solref=(np.stack([j.solref for j in hs])
+                         if hs else np.zeros((0, 2))),
+        hs_limit_solimp=(np.stack([j.solimp for j in hs])
+                         if hs else np.zeros((0, 5))),
+        hs_limit_meff=(np.array([dof_meff0[j.dofadr] for j in hs])
+                       if hs else np.zeros(0)),
         free_qposadr=np.array([j.qposadr for j in free_joints], dtype=np.int32),
         free_dofadr=np.array([j.dofadr for j in free_joints], dtype=np.int32),
         free_bodyid=np.array([j.bodyid for j in free_joints], dtype=np.int32),

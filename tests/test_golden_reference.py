@@ -39,14 +39,21 @@ def test_reference_layout(ref_traj):
 
 def test_one_step_prediction_vs_reference_log(ref_traj):
     """Our engine's one-step predictions on logged reference pairs track the
-    MuJoCo C engine's own predictions (same pairs, same horizon)."""
+    MuJoCo C engine's own predictions (same pairs, same horizon).
+
+    Coupled tier (environment plant: pyramidal-cone constraint QP +
+    body-body contacts): median one-step qpos error ~4e-4 over the FULL
+    1400-frame trajectory (scripts/dev_contact_fidelity.py); asserted here
+    at 2e-3 on a subsample. Penalty tier (planner): decoupled impedance
+    penalties, asserted at the documented looser ladder."""
     from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward, step
 
     mujoco = pytest.importorskip("mujoco")
     states, actions = ref_traj
     asset = os.path.join(os.path.dirname(__file__), "..",
                          "humanoid_mppi_rl_tpu", "assets", "humanoid.xml")
-    pm = build_from_mjcf(asset)
+    pm = build_from_mjcf(asset, include_self_collisions=True)
+    pm_planner = build_from_mjcf(asset)
     m = mujoco.MjModel.from_xml_path(asset)
     d = mujoco.MjData(m)
 
@@ -55,25 +62,32 @@ def test_one_step_prediction_vs_reference_log(ref_traj):
     # consecutive rows are one physics step apart; MuJoCo C replays them to
     # machine precision (~1e-16), i.e. this is a true golden dataset.
     idxs = np.arange(40, 400, 8)
-    ours_err, nefc = [], []
+    step_c = jax.jit(lambda qp, qv, u: step(
+        pm, forward(pm, qp, qv), u).qpos)
+    step_p = jax.jit(lambda qp, qv, u: step(
+        pm_planner, forward(pm_planner, qp, qv), u, solver="penalty").qpos)
+    err_c, err_p, nefc = [], [], []
     for i in idxs:
         qpos, qvel = states[i, :28], states[i, 28:55]
         u = actions[i]
-        st = step(pm, forward(pm, jnp.asarray(qpos), jnp.asarray(qvel)),
-                  jnp.asarray(u))
+        qp_c = np.asarray(step_c(jnp.asarray(qpos), jnp.asarray(qvel),
+                                 jnp.asarray(u)))
+        qp_p = np.asarray(step_p(jnp.asarray(qpos), jnp.asarray(qvel),
+                                 jnp.asarray(u)))
         d.qpos[:] = qpos
         d.qvel[:] = qvel
         d.ctrl[:] = u
         mujoco.mj_step(m, d)
         np.testing.assert_allclose(d.qpos, states[i + 1, :28], atol=1e-10)
-        ours_err.append(np.abs(np.asarray(st.qpos) - states[i + 1, :28]).max())
+        err_c.append(np.abs(qp_c - states[i + 1, :28]).max())
+        err_p.append(np.abs(qp_p - states[i + 1, :28]).max())
         nefc.append(d.nefc)
-    ours_err = np.asarray(ours_err)
+    err_c, err_p = np.asarray(err_c), np.asarray(err_p)
     nefc = np.asarray(nefc)
     # constraint-free frames: our smooth dynamics are exact
     if (nefc == 0).any():
-        assert np.median(ours_err[nefc == 0]) < 1e-9
-    # constraint-active frames: smooth penalties vs MuJoCo's constraint
-    # solver — the documented tolerance ladder (currently ~0.025 median
-    # one-step qpos deviation during contact/limit activity)
-    assert np.median(ours_err) < 0.05, np.median(ours_err)
+        assert np.median(err_c[nefc == 0]) < 1e-9
+    # environment tier: MuJoCo-QP analog
+    assert np.median(err_c) < 2e-3, np.median(err_c)
+    # planner tier: decoupled penalty ladder
+    assert np.median(err_p) < 0.05, np.median(err_p)

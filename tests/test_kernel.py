@@ -46,7 +46,11 @@ def test_scalar_step_matches_engine(name):
 
     st = jax.vmap(lambda qp, qv: forward(pm, qp, qv))(
         jnp.asarray(qpos), jnp.asarray(qvel))
-    st2 = jax.vmap(lambda s, u: step(pm, s, u))(st, jnp.asarray(ctrl))
+    # the kernel implements the decoupled "penalty" solver tier exactly
+    # (the coupled default adds a cross-row constraint solve — see
+    # physics.engine.step)
+    st2 = jax.vmap(lambda s, u: step(pm, s, u, solver="penalty"))(
+        st, jnp.asarray(ctrl))
 
     qp_l = [jnp.asarray(qpos[:, i]) for i in range(pm.nq)]
     qv_l = [jnp.asarray(qvel[:, i]) for i in range(pm.nv)]

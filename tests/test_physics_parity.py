@@ -140,3 +140,66 @@ def test_contact_sim_stable(setup):
     if int(m.jnt_type[0]) == 0:
         z = float(s.qpos[2])
         assert -0.05 < z < 3.0
+
+
+def test_self_collision_narrowphase_vs_mujoco():
+    """Body-body (self) contact narrowphase and the coupled constraint QP
+    track mj_step on a two-capsule toy model (contact.py::_self_rows:
+    segment-segment closest points, oracle frame conventions, pyramidal
+    cone rows)."""
+    mujoco = pytest.importorskip("mujoco")
+    import jax
+
+    xml = """
+    <mujoco>
+      <option timestep="0.005"/>
+      <worldbody>
+        <body name="a" pos="0 0 1"><freejoint/>
+          <geom name="ga" type="capsule" size="0.05 0.2" mass="1"/>
+        </body>
+        <body name="b" pos="0.0 0.02 1.28"><freejoint/>
+          <geom name="gb" type="capsule" size="0.06 0.15" euler="0 60 0" mass="1"/>
+        </body>
+      </worldbody>
+    </mujoco>
+    """
+    pm = build_from_mjcf(xml=xml, include_self_collisions=True)
+    m = mujoco.MjModel.from_xml_string(xml)
+    d = mujoco.MjData(m)
+
+    step_j = jax.jit(lambda qp, qv: step(pm, forward(pm, qp, qv),
+                                         jnp.zeros(pm.nu)))
+    rng = np.random.default_rng(0)
+    errs = []
+    for _ in range(5):
+        qpos = np.asarray(pm.qpos0, float).copy()
+        qpos[:3] += rng.normal(0, 0.01, 3)
+        qvel = rng.normal(0, 0.2, pm.nv)
+        st = step_j(jnp.asarray(qpos), jnp.asarray(qvel))
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = 0
+        mujoco.mj_step(m, d)
+        assert d.ncon >= 1          # the pose interpenetrates by design
+        errs.append(np.abs(np.asarray(st.qpos) - d.qpos).max())
+    assert np.median(errs) < 2e-3, errs
+
+
+def test_solver_tiers_agree_free_flight():
+    """Both constraint tiers reduce to the identical smooth dynamics when no
+    constraint is active."""
+    import jax
+
+    asset = os.path.join(ASSETS, "humanoid.xml")
+    pm = build_from_mjcf(asset)
+    qpos = np.asarray(pm.qpos0, float).copy()
+    qpos[2] += 1.0                  # airborne: no contacts, no limits
+    qvel = np.zeros(pm.nv)
+    st = forward(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+    u = jnp.zeros(pm.nu)
+    a = step(pm, st, u, solver="coupled")
+    b = step(pm, st, u, solver="penalty")
+    np.testing.assert_allclose(np.asarray(a.qpos), np.asarray(b.qpos),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a.qvel), np.asarray(b.qvel),
+                               atol=1e-10)
