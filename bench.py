@@ -51,7 +51,7 @@ def main():
             cost_kwargs=spec.cost_kwargs, block_k=min(512, K)))
     else:
         plan = jax.jit(make_mppi(dynamics, running, cfg, terminal_fn=terminal))
-    ms = MPPIState.init(jax.random.PRNGKey(0), cfg.T, model.nu)
+    ms = MPPIState.seeded(0, cfg.T, model.nu)
 
     t0 = time.perf_counter()
     action, ms, diag = plan(ms, init_state)

@@ -76,8 +76,8 @@ class EstimatorRunner:
         qpos = jnp.asarray(init_qpos if init_qpos is not None else m.qpos0)
         qvel = jnp.asarray(init_qvel if init_qvel is not None else np.zeros(m.nv))
         plant = forward(m, qpos, qvel)
-        ms = MPPIState.init(jax.random.PRNGKey(self.seed if seed is None else seed),
-                            self.cfg.T, m.nu)
+        ms = MPPIState.seeded(self.seed if seed is None else seed,
+                              self.cfg.T, m.nu)
         log = TrajectoryLogger()
         for _ in range(n_steps):
             action, ms, new_plant, _ = self.control_step(ms, plant)

@@ -90,8 +90,8 @@ class EpisodeRunner:
         self._chunk_cache = {}
 
     def fresh_controller(self, seed: Optional[int] = None) -> MPPIState:
-        key = jax.random.PRNGKey(self.seed if seed is None else seed)
-        return MPPIState.init(key, self.cfg.T, self.model.nu)
+        return MPPIState.seeded(self.seed if seed is None else seed,
+                                self.cfg.T, self.model.nu)
 
     def _build_chunk_fn(self, chunk, state_row_fn, goal_fn, fall_fn,
                         plant_update_fn=None):
@@ -151,11 +151,18 @@ class EpisodeRunner:
         params=None,
         chunk: int = 50,
         plant_update_fn: Optional[Callable] = None,
+        metrics_path: Optional[str] = None,
     ) -> EpisodeResult:
         """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos, params)->bool
         jnp — all evaluated on device (scanned in chunks). `params` is an
         8-slot f32 vector carrying episode-varying quantities (goals) so
-        repeated runs reuse the compiled chunk."""
+        repeated runs reuse the compiled chunk. `metrics_path` appends a
+        JSONL event per chunk (replan latency, control steps/s — the
+        observability the reference lacks, SURVEY.md §5)."""
+        import time as _time
+
+        from ..utils.metrics import JSONLWriter
+
         plant = self.init_state if init_state is None else init_state
         plant = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), plant)
         ms = self.fresh_controller(seed)
@@ -165,14 +172,20 @@ class EpisodeRunner:
         log = logger if logger is not None else TrajectoryLogger()
         run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn,
                                          plant_update_fn)
+        met = JSONLWriter(metrics_path)
 
         nu = self.model.nu
         goal = fell = False
         steps = 0
         while steps < max_steps:
             n = min(chunk, max_steps - steps)
+            t_chunk = _time.perf_counter()
             ms, plant, packed = run_chunk(ms, plant, params)
             packed = np.asarray(packed)          # ONE host fetch per chunk
+            dt_chunk = _time.perf_counter() - t_chunk
+            met.write(kind="chunk", task=self.spec.name, steps=n,
+                      wall_s=dt_chunk, replan_ms=dt_chunk / n * 1e3,
+                      steps_per_s=n / dt_chunk, K=self.cfg.K, T=self.cfg.T)
             rows = packed[:, :-(nu + 3)]
             actions = packed[:, -(nu + 3):-3]
             times = packed[:, -3]
@@ -192,6 +205,9 @@ class EpisodeRunner:
             steps += stop
             if goal or fell:
                 break
+        met.write(kind="episode", task=self.spec.name, steps=steps,
+                  goal=bool(goal), fell=bool(fell))
+        met.close()
         return EpisodeResult(
             steps=steps, goal_reached=goal, fell=fell,
             final_qpos=np.asarray(plant.qpos), logger=log,
@@ -253,12 +269,17 @@ def collect_humanoid(
     task_name: str = "humanoid_collect",
     use_kernel: bool = False,
     mppi_override: Optional[dict] = None,
+    retries: int = 0,
+    metrics_path: Optional[str] = None,
 ):
     """Goal-gated humanoid episode collection. `shard_index`/`num_shards`
     shard episodes across processes/hosts (replacing the 150-run sequential
     reference src/run.sh) — episode i runs on shard i % num_shards. With
     use_kernel=True the per-episode goal is a runtime kernel parameter, so
-    the compiled controller is reused across all episodes."""
+    the compiled controller is reused across all episodes. `retries` re-runs
+    a failed (goal-not-reached) episode with a reseeded noise stream up to
+    that many extra times — episode-level failure recovery (the reference
+    just discards failures, src/Humanoid_datacollection_v2.jl:268-275)."""
     from ..physics import forward
 
     results = []
@@ -286,11 +307,14 @@ def collect_humanoid(
         init = fwd_j(jnp.asarray(qpos, jnp.float32),
                      jnp.asarray(qvel, jnp.float32))
 
-        res = runner.run(max_steps=max_steps, init_state=init,
-                         seed=seed + ep,
-                         state_row_fn=_humanoid_state_row(id_l, id_r),
-                         goal_fn=_humanoid_goal_fn(goal_threshold),
-                         params=goal)
+        for attempt in range(retries + 1):
+            res = runner.run(max_steps=max_steps, init_state=init,
+                             seed=seed + ep + attempt * 65537,
+                             state_row_fn=_humanoid_state_row(id_l, id_r),
+                             goal_fn=_humanoid_goal_fn(goal_threshold),
+                             params=goal, metrics_path=metrics_path)
+            if res.goal_reached:
+                break
         if save and res.goal_reached:
             # reference saves ONLY successful episodes (:268-275)
             res.logger.save_split_dirs(out_dir)

@@ -49,6 +49,10 @@ class TrainConfig:
     seed: int = 0
     log_path: Optional[str] = None
     compute_dtype: Any = jnp.float32
+    # resume from a "state_last"-style full-train-state checkpoint (params +
+    # opt state + step/epoch) — the reference only has a commented-out
+    # torch.load resume line (learning/train.py:78); here resume is real
+    resume_from: Optional[str] = None
 
 
 PRESET_CONFIGS = {
@@ -122,6 +126,32 @@ def load_checkpoint(path: str, params_like):
     return ckptr.restore(os.path.abspath(path), params_like)
 
 
+def save_train_state(ckpt_dir: str, name: str, state: "TrainState",
+                     epoch: int) -> str:
+    """Full resumable snapshot: params + optimizer state + step + epoch."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, name))
+    payload = {"params": state.params, "opt_state": state.opt_state,
+               "step": state.step, "epoch": jnp.asarray(epoch)}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_train_state(path: str, state: "TrainState"):
+    """Restore (state, next_epoch) from a save_train_state snapshot."""
+    import orbax.checkpoint as ocp
+
+    like = {"params": state.params, "opt_state": state.opt_state,
+            "step": state.step, "epoch": jnp.asarray(0)}
+    got = ocp.StandardCheckpointer().restore(os.path.abspath(path), like)
+    state = state.replace(params=got["params"], opt_state=got["opt_state"],
+                          step=got["step"])
+    return state, int(got["epoch"]) + 1
+
+
 def train_model(
     states_dir: str,
     actions_dir: str,
@@ -148,10 +178,16 @@ def train_model(
     train_step, eval_step = make_steps(model.apply)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    start_epoch = 0
+    if cfg.resume_from:
+        state, start_epoch = load_train_state(cfg.resume_from, state)
+        log.write(kind="resume", path=cfg.resume_from, epoch=start_epoch)
+
     best_eval = np.inf
     best_path = None
-    global_step = 0
-    for epoch in range(cfg.epochs):
+    global_step = int(state.step)
+    train_loss = float("nan")
+    for epoch in range(start_epoch, cfg.epochs):
         with Timer() as t_ep:
             losses = []
             for i, (x, y) in enumerate(
@@ -195,6 +231,7 @@ def train_model(
             best_path = save_checkpoint(cfg.ckpt_dir, "model_best", state.params)
         if cfg.ckpt_every and (epoch + 1) % cfg.ckpt_every == 0:
             save_checkpoint(cfg.ckpt_dir, f"model_epoch_{epoch + 1}", state.params)
+            save_train_state(cfg.ckpt_dir, "state_last", state, epoch)
 
     final_path = save_checkpoint(cfg.ckpt_dir, "model_final", state.params)
     log.close()

@@ -61,11 +61,25 @@ def _is_const(x) -> bool:
 def _imp_scalar(viol, solimp):
     """Scalar MuJoCo solimp impedance spline d(r); `viol` is a (B,) lane
     scalar, `solimp` a static (5,) numpy array (see physics.contact.impedance
-    for the batched form this mirrors)."""
+    for the batched form this mirrors). Integer powers (the default
+    power=2) lower to multiplies — `x ** 2.0` otherwise becomes a
+    transcendental pow on the TPU VPU, and this spline runs per contact
+    point per limit per step inside the mega-kernel."""
     d0, dmax, width, mid, power = [float(v) for v in solimp]
+
+    if power == int(power) and 1 <= power <= 4:
+        def powf(x):
+            r = x
+            for _ in range(int(power) - 1):
+                r = r * x
+            return r
+    else:
+        def powf(x):
+            return x ** power
+
     x = jnp.clip(viol / width, 0.0, 1.0)
-    lo = mid * (x / mid) ** power
-    hi = 1.0 - (1.0 - mid) * ((1.0 - x) / (1.0 - mid)) ** power
+    lo = mid * powf(x / mid)
+    hi = 1.0 - (1.0 - mid) * powf((1.0 - x) / (1.0 - mid))
     s = jnp.where(x < mid, lo, hi)
     return d0 + s * (dmax - d0)
 

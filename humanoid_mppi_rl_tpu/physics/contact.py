@@ -69,9 +69,22 @@ def impedance(pen: jax.Array, solimp) -> jax.Array:
     dt = pen.dtype
     x = jnp.clip(pen / jnp.asarray(width, dt), 0.0, 1.0)
     mid_j = jnp.asarray(mid, dt)
-    pow_j = jnp.asarray(power, dt)
-    lo = mid_j * (x / mid_j) ** pow_j
-    hi = 1.0 - (1.0 - mid_j) * ((1.0 - x) / (1.0 - mid_j)) ** pow_j
+    # uniform integer power (the default 2.0) lowers to multiplies instead
+    # of a transcendental pow
+    p0 = float(power[0]) if power.size else 2.0
+    if power.size and (power == p0).all() and p0 == int(p0) and 1 <= p0 <= 4:
+        def powf(v):
+            r = v
+            for _ in range(int(p0) - 1):
+                r = r * v
+            return r
+    else:
+        pow_j = jnp.asarray(power, dt)
+
+        def powf(v):
+            return v ** pow_j
+    lo = mid_j * powf(x / mid_j)
+    hi = 1.0 - (1.0 - mid_j) * powf((1.0 - x) / (1.0 - mid_j))
     s = jnp.where(x < mid_j, lo, hi)
     return jnp.asarray(d0, dt) + s * jnp.asarray(dmax - d0, dt)
 

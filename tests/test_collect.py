@@ -172,3 +172,41 @@ def test_v2py_goal_advance_3d():
     st = mk([2.0, 0.05, 1.30], [2.0, 0.0, 1.28])
     st2 = advance_goal_v2py(st)
     np.testing.assert_allclose(np.asarray(st2.goal), [4.0, 0.0, 1.28])
+
+
+def test_episode_determinism_same_seed():
+    """Same seed -> bit-identical logged trajectory; different seed ->
+    different noise stream. The pure-functional determinism check that
+    replaces thread-race concerns (SURVEY.md §5: the reference relies on
+    thread-local MjData copies; we rely on explicit PRNG threading)."""
+    from humanoid_mppi_rl_tpu.collect.runner import EpisodeRunner
+
+    runner = EpisodeRunner(
+        "cartpole", mppi_override={"n_samples": 8, "horizon": 5})
+    kw = dict(max_steps=6, chunk=3)
+    a = runner.run(seed=11, **kw)
+    b = runner.run(seed=11, **kw)
+    c = runner.run(seed=12, **kw)
+    np.testing.assert_array_equal(np.asarray(a.logger.states),
+                                  np.asarray(b.logger.states))
+    np.testing.assert_array_equal(np.asarray(a.logger.actions),
+                                  np.asarray(b.logger.actions))
+    assert not np.array_equal(np.asarray(a.logger.actions),
+                              np.asarray(c.logger.actions))
+
+
+def test_collection_metrics_jsonl(tmp_path):
+    """metrics_path emits per-chunk replan-latency events + an episode
+    summary (the observability layer the reference lacks, SURVEY.md §5)."""
+    import json
+
+    from humanoid_mppi_rl_tpu.collect.runner import EpisodeRunner
+
+    runner = EpisodeRunner(
+        "cartpole", mppi_override={"n_samples": 8, "horizon": 5})
+    mp = str(tmp_path / "metrics.jsonl")
+    runner.run(max_steps=6, chunk=3, metrics_path=mp)
+    events = [json.loads(l) for l in open(mp)]
+    kinds = [e["kind"] for e in events]
+    assert kinds.count("chunk") == 2 and kinds[-1] == "episode"
+    assert all(e["replan_ms"] > 0 for e in events if e["kind"] == "chunk")

@@ -97,3 +97,32 @@ def test_estimator_mppi_smoke(toy_dataset_dirs, tmp_path):
     s, a, t = log.arrays()
     assert s.shape == (5, 4) and a.shape == (5, 1)
     assert np.isfinite(s).all()
+
+
+def test_train_resume_roundtrip(toy_dataset_dirs, tmp_path):
+    """A run checkpointed at epoch N resumes from state_last and continues
+    from epoch N+1 with optimizer state intact (the reference only has a
+    commented-out resume line, learning/train.py:78)."""
+    import json
+
+    sdir, adir = toy_dataset_dirs
+    ck = str(tmp_path / "ck")
+    cfg = TrainConfig(model_preset="cartpole_attention", lr=3e-3, epochs=4,
+                      batch_size=32, ckpt_dir=ck, ckpt_every=4,
+                      eval_split=0.2, log_path=str(tmp_path / "m1.jsonl"))
+    out1 = train_model(sdir, adir, cfg)
+    last = os.path.join(ck, "state_last")
+    assert os.path.exists(last)
+
+    cfg2 = TrainConfig(model_preset="cartpole_attention", lr=3e-3, epochs=6,
+                       batch_size=32, ckpt_dir=ck, ckpt_every=0,
+                       eval_split=0.2, resume_from=last,
+                       log_path=str(tmp_path / "m2.jsonl"))
+    out2 = train_model(sdir, adir, cfg2)
+    events = [json.loads(l) for l in open(tmp_path / "m2.jsonl")]
+    assert events[0]["kind"] == "resume" and events[0]["epoch"] == 4
+    # only epochs 4..5 ran in the resumed job
+    epochs = [e["epoch"] for e in events if e["kind"] == "epoch"]
+    assert epochs == [4, 5]
+    assert np.isfinite(out2["best_eval_loss"]) and np.isfinite(
+        out1["best_eval_loss"])
