@@ -48,7 +48,7 @@ def main():
     if use_kernel:
         plan = jax.jit(make_kernel_mppi(
             model, KERNEL_COSTS[spec.kernel_cost], cfg,
-            cost_kwargs=spec.cost_kwargs, block_k=min(512, K)))
+            cost_kwargs=spec.cost_kwargs, block_k=min(1024, K)))
     else:
         plan = jax.jit(make_mppi(dynamics, running, cfg, terminal_fn=terminal))
     ms = MPPIState.seeded(0, cfg.T, model.nu)

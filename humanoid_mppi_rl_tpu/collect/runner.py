@@ -44,7 +44,7 @@ class EpisodeRunner:
                  cost_kwargs_override: Optional[dict] = None,
                  mppi_override: Optional[dict] = None,
                  use_kernel: bool = False,
-                 block_k: int = 512):
+                 block_k: int = 1024):
         spec, model, dynamics, running, terminal, init_state, cfg = load_task(task_name)
         kw = dict(spec.cost_kwargs)
         if cost_kwargs_override:

@@ -71,7 +71,7 @@ def make_sharded_kernel_mppi(
     cfg: MPPIConfig,
     mesh: Mesh,
     cost_kwargs: Optional[dict] = None,
-    block_k: int = 512,
+    block_k: int = 1024,
     axis: str = "k",
     interpret: Optional[bool] = None,
 ):

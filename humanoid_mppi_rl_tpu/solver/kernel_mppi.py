@@ -29,7 +29,7 @@ def make_kernel_mppi(
     kernel_cost_factory: Callable,
     cfg: MPPIConfig,
     cost_kwargs: Optional[dict] = None,
-    block_k: int = 512,
+    block_k: int = 1024,
     interpret: Optional[bool] = None,
 ):
     """plan(mppi_state, plant_state: PhysicsState) -> (action, state', diag)."""
