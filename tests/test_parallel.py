@@ -84,3 +84,33 @@ def test_sharded_deterministic(mesh8):
     a1, _, _ = plan(MPPIState.init(jax.random.PRNGKey(9), cfg.T, 1), s0)
     a2, _, _ = plan(MPPIState.init(jax.random.PRNGKey(9), cfg.T, 1), s0)
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_sharded_estimator_mppi(mesh8):
+    """BASELINE config 5 shape: MPPI on a Flax surrogate with the K sample
+    axis sharded over the mesh (make_sharded_mppi is dynamics-agnostic; the
+    learned net's matmuls see the K_local batch on each shard)."""
+    import dataclasses
+
+    from humanoid_mppi_rl_tpu.collect.estimator import (
+        ESTIMATOR_CONFIGS, quadruped_estimator_costs)
+    from humanoid_mppi_rl_tpu.dynamics.learned import make_learned_dynamics
+    from humanoid_mppi_rl_tpu.models.predictors import make_model
+
+    net = make_model("quadruped_attention", hidden_dim=16, attn_layers=1,
+                     num_heads=2)
+    x0 = jnp.zeros((1, 37 + 12), jnp.float32)
+    params = net.init(jax.random.PRNGKey(3), x0, deterministic=True)
+    dyn = make_learned_dynamics(net.apply, params, state_slice=37)
+    running, terminal = quadruped_estimator_costs()
+    cfg = dataclasses.replace(ESTIMATOR_CONFIGS["quadruped"],
+                              n_samples=16, horizon=4)
+    plan = jax.jit(make_sharded_mppi(dyn, running, cfg, mesh8,
+                                     terminal_fn=terminal))
+    ms = MPPIState.init(jax.random.PRNGKey(4), cfg.T, 12)
+    x = jnp.zeros(37, jnp.float32)
+    action, ms2, diag = plan(ms, x)
+    assert np.isfinite(np.asarray(action)).all()
+    assert action.shape == (12,)
+    # replace-mode update: U was zero, so the plan head is the weighted noise
+    assert float(diag.ess) >= 1.0
