@@ -1,0 +1,274 @@
+"""Command-line interface: ``python -m humanoid_mppi_rl_tpu <cmd> ...``.
+
+The reference has no CLI — each workflow is a standalone script plus a bash
+batcher (src/run.sh). Here every workflow is a subcommand over the same
+engine:
+
+  tasks                     list the task registry (per-task MPPI presets)
+  run      --task NAME      one episode of any registry task, CSVs out
+  collect  --robot humanoid|humanoid_v2py|quadruped
+                            the reference data-collection drivers
+                            (src/Humanoid_datacollection_v2.{jl,py},
+                            src/quadruped_datacollection.py), episode-
+                            sharded across processes via --shard-index/
+                            --num-shards (replacing sequential run.sh)
+  train    --preset NAME    dynamics learning on collected CSVs
+                            (learning/train*.py presets)
+  estimate --preset NAME    MPPI on a trained surrogate driving the real
+                            plant (src/*_mppi_estimator.py)
+  replay   --states CSV     kinematic replay / video render of a logged
+                            trajectory (Visualization/vis.ipynb cell 2)
+  bench                     the repo benchmark (bench.py), JSON line out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="data", help="output directory")
+
+
+def _mppi_override(args):
+    ov = {}
+    if args.K:
+        ov["n_samples"] = args.K
+    if args.T:
+        ov["horizon"] = args.T
+    return ov or None
+
+
+def _add_kt(p):
+    p.add_argument("--K", type=int, default=0, help="override sample count")
+    p.add_argument("--T", type=int, default=0, help="override horizon")
+
+
+def cmd_tasks(args):
+    from .envs.tasks import TASKS
+
+    for name, spec in TASKS.items():
+        cfg = spec.mppi
+        print(f"{name:24s} asset={os.path.basename(spec.asset)} "
+              f"K={cfg.n_samples} T={cfg.horizon} "
+              f"lam={cfg.temperature} sigma={cfg.sigma}")
+    return 0
+
+
+def cmd_run(args):
+    import numpy as np
+
+    from .collect.runner import EpisodeRunner
+
+    runner = EpisodeRunner(args.task, use_kernel=args.kernel,
+                           mppi_override=_mppi_override(args))
+    res = runner.run(max_steps=args.steps, seed=args.seed,
+                     metrics_path=args.metrics)
+    res.logger.save_run_dir(args.out)
+    print(json.dumps({
+        "task": args.task, "steps": res.steps,
+        "goal_reached": bool(res.goal_reached), "fell": bool(res.fell),
+        "final_qpos_xyz": [round(float(v), 4) for v in res.final_qpos[:3]],
+        "out": args.out,
+    }))
+    return 0
+
+
+def cmd_collect(args):
+    from .collect.runner import (
+        collect_humanoid,
+        collect_humanoid_v2py,
+        collect_quadruped,
+    )
+
+    common = dict(seed=args.seed, max_steps=args.steps,
+                  shard_index=args.shard_index, num_shards=args.num_shards)
+    if args.robot == "humanoid":
+        results = collect_humanoid(
+            n_episodes=args.episodes, out_dir=args.out,
+            use_kernel=args.kernel, mppi_override=_mppi_override(args),
+            retries=args.retries, metrics_path=args.metrics, **common)
+    elif args.robot == "humanoid_v2py":
+        results = collect_humanoid_v2py(
+            n_episodes=args.episodes, out_dir=args.out,
+            mppi_override=_mppi_override(args), **common)
+    elif args.robot == "quadruped":
+        results = collect_quadruped(
+            n_runs=args.episodes, out_base=args.out, **common)
+    else:
+        raise SystemExit(f"unknown robot {args.robot}")
+    print(json.dumps({"robot": args.robot, "results": results}))
+    return 0
+
+
+def cmd_train(args):
+    import dataclasses
+
+    from .learning.train import PRESET_CONFIGS, TrainConfig, train_model
+
+    cfg = PRESET_CONFIGS.get(args.preset, TrainConfig())
+    over = {}
+    if args.epochs:
+        over["epochs"] = args.epochs
+    if args.ckpt_dir:
+        over["ckpt_dir"] = args.ckpt_dir
+    if args.resume_from:
+        over["resume_from"] = args.resume_from
+    if args.metrics:
+        over["log_path"] = args.metrics
+    cfg = dataclasses.replace(cfg, **over)
+    out = train_model(args.states, args.actions, cfg)
+    print(json.dumps({k: v for k, v in out.items()
+                      if isinstance(v, (int, float, str, bool))}))
+    return 0
+
+
+def cmd_estimate(args):
+    import numpy as np
+
+    from .collect.estimator import (
+        ESTIMATOR_CONFIGS,
+        EstimatorRunner,
+        quadruped_estimator_costs,
+    )
+    from .costs import cartpole as cartpole_cost
+    from .envs.tasks import TASKS
+    from .learning.train import load_checkpoint
+    from .models.predictors import make_model
+    from .utils.trajio import write_csv
+
+    preset = args.preset
+    net = make_model(f"{preset}_attention")
+    if preset == "cartpole":
+        x0_dim, act_dim, state_slice = 4, 1, None
+        running, terminal = cartpole_cost.make_costs_flat()
+        asset = TASKS["cartpole"].asset_path()
+    elif preset == "quadruped":
+        x0_dim, act_dim, state_slice = 37, 12, 37
+        running, terminal = quadruped_estimator_costs()
+        asset = TASKS["go1"].asset_path()
+    else:
+        raise SystemExit(f"unknown estimator preset {preset}")
+
+    import jax
+    import jax.numpy as jnp
+
+    like = net.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, x0_dim + act_dim)), deterministic=True)
+    params = load_checkpoint(args.checkpoint, like) if args.checkpoint else like
+    runner = EstimatorRunner(asset, net.apply, params,
+                             ESTIMATOR_CONFIGS[preset], running, terminal,
+                             state_slice=state_slice, seed=args.seed)
+    log = runner.run(n_steps=args.steps, seed=args.seed)
+    os.makedirs(args.out, exist_ok=True)
+    s, a, t = log.arrays()
+    write_csv(os.path.join(args.out, "states.csv"), s)
+    write_csv(os.path.join(args.out, "actions.csv"), a)
+    write_csv(os.path.join(args.out, "times.csv"), t.reshape(-1, 1))
+    print(json.dumps({"preset": preset, "steps": int(s.shape[0]),
+                      "out": args.out}))
+    return 0
+
+
+def cmd_replay(args):
+    import numpy as np
+
+    from .physics import build_from_mjcf
+    from .utils.trajio import read_csv
+    from .viz.replay import kinematic_replay, render_video
+
+    states = read_csv(args.states)
+    if args.video:
+        path = render_video(args.asset, states, args.video, fps=args.fps)
+        print(json.dumps({"video": path, "frames": int(states.shape[0])}))
+        return 0
+    model = build_from_mjcf(args.asset)
+    frames = kinematic_replay(model, states, stride=args.stride)
+    print(json.dumps({"frames": int(frames.shape[0]),
+                      "nbody": int(frames.shape[1]),
+                      "root_travel": round(float(
+                          np.linalg.norm(frames[-1, 1] - frames[0, 1])), 4)}))
+    return 0
+
+
+def cmd_bench(args):
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, root)
+    import bench
+
+    bench.main()
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="humanoid_mppi_rl_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("tasks", help="list registry tasks").set_defaults(fn=cmd_tasks)
+
+    p = sub.add_parser("run", help="one episode of a registry task")
+    p.add_argument("--task", required=True)
+    p.add_argument("--steps", type=int, default=500)
+    p.add_argument("--kernel", action="store_true",
+                   help="plan through the fused Pallas rollout kernel")
+    p.add_argument("--metrics", default=None, help="JSONL metrics path")
+    _add_kt(p)
+    _add_common(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("collect", help="batch data collection")
+    p.add_argument("--robot", required=True,
+                   choices=["humanoid", "humanoid_v2py", "quadruped"])
+    p.add_argument("--episodes", type=int, default=10)
+    p.add_argument("--steps", type=int, default=10000)
+    p.add_argument("--shard-index", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--retries", type=int, default=0)
+    p.add_argument("--kernel", action="store_true")
+    p.add_argument("--metrics", default=None)
+    _add_kt(p)
+    _add_common(p)
+    p.set_defaults(fn=cmd_collect)
+
+    p = sub.add_parser("train", help="train a dynamics surrogate")
+    p.add_argument("--preset", default="humanoid",
+                   help="humanoid | cartpole | quadruped")
+    p.add_argument("--states", required=True, help="states CSV dir")
+    p.add_argument("--actions", required=True, help="actions CSV dir")
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--resume-from", default=None)
+    p.add_argument("--metrics", default=None)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("estimate", help="MPPI on a trained surrogate")
+    p.add_argument("--preset", required=True,
+                   help="cartpole | quadruped")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir (default: random init)")
+    p.add_argument("--steps", type=int, default=200)
+    _add_common(p)
+    p.set_defaults(fn=cmd_estimate)
+
+    p = sub.add_parser("replay", help="replay/render a logged trajectory")
+    p.add_argument("--states", required=True, help="states CSV")
+    p.add_argument("--asset", required=True, help="MJCF path")
+    p.add_argument("--video", default=None, help="mp4 output (needs OpenGL)")
+    p.add_argument("--fps", type=int, default=60)
+    p.add_argument("--stride", type=int, default=1)
+    p.set_defaults(fn=cmd_replay)
+
+    sub.add_parser("bench", help="repo benchmark").set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -210,3 +210,25 @@ def test_collection_metrics_jsonl(tmp_path):
     kinds = [e["kind"] for e in events]
     assert kinds.count("chunk") == 2 and kinds[-1] == "episode"
     assert all(e["replan_ms"] > 0 for e in events if e["kind"] == "chunk")
+
+
+def test_cli_run_and_replay(tmp_path, capsys):
+    """The CLI drives an episode and replays the logged CSV (the reference
+    has no CLI at all — each workflow was a standalone script)."""
+    import json
+
+    from humanoid_mppi_rl_tpu.cli import main
+    from humanoid_mppi_rl_tpu.envs.tasks import TASKS
+
+    out = str(tmp_path / "run")
+    rc = main(["run", "--task", "cartpole", "--steps", "4",
+               "--K", "8", "--T", "5", "--out", out])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["steps"] == 4 and os.path.exists(os.path.join(out, "states.csv"))
+
+    rc = main(["replay", "--states", os.path.join(out, "states.csv"),
+               "--asset", TASKS["cartpole"].asset_path()])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["frames"] == 4
