@@ -81,6 +81,7 @@ def cmd_run(args):
 def cmd_collect(args):
     from .collect.runner import (
         collect_humanoid,
+        collect_humanoid_jl,
         collect_humanoid_v2py,
         collect_quadruped,
     )
@@ -92,6 +93,11 @@ def cmd_collect(args):
             n_episodes=args.episodes, out_dir=args.out,
             use_kernel=args.kernel, mppi_override=_mppi_override(args),
             retries=args.retries, metrics_path=args.metrics, **common)
+    elif args.robot == "humanoid_jl":
+        results = collect_humanoid_jl(
+            n_episodes=args.episodes, out_dir=args.out,
+            use_kernel=args.kernel, mppi_override=_mppi_override(args),
+            metrics_path=args.metrics, **common)
     elif args.robot == "humanoid_v2py":
         results = collect_humanoid_v2py(
             n_episodes=args.episodes, out_dir=args.out,
@@ -224,7 +230,8 @@ def main(argv=None):
 
     p = sub.add_parser("collect", help="batch data collection")
     p.add_argument("--robot", required=True,
-                   choices=["humanoid", "humanoid_v2py", "quadruped"])
+                   choices=["humanoid", "humanoid_jl", "humanoid_v2py",
+                            "quadruped"])
     p.add_argument("--episodes", type=int, default=10)
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--shard-index", type=int, default=0)

@@ -94,14 +94,15 @@ class EpisodeRunner:
                                 self.cfg.T, self.model.nu)
 
     def _build_chunk_fn(self, chunk, state_row_fn, goal_fn, fall_fn,
-                        plant_update_fn=None):
+                        plant_update_fn=None, params_update_fn=None):
         """Scan `chunk` control steps on device, logging rows/flags into
         stacked device arrays — ONE host transfer per chunk instead of
         several per step (host readbacks are expensive, especially through
         a remote-device tunnel). goal_fn/fall_fn take (qpos, params) so a
         changing episode goal does NOT retrigger compilation; the compiled
         chunk fn is cached per (chunk, fns) identity."""
-        key = (chunk, state_row_fn, goal_fn, fall_fn, plant_update_fn)
+        key = (chunk, state_row_fn, goal_fn, fall_fn, plant_update_fn,
+               params_update_fn)
         cached = self._chunk_cache.get(key)
         if cached is not None:
             return cached
@@ -117,6 +118,11 @@ class EpisodeRunner:
                 # goal-advance, which rewrites the target carried in the
                 # augmented plant state)
                 plant2 = plant_update_fn(plant2, params)
+            if params_update_fn is not None:
+                # post-step runtime-parameter mutation hook (e.g. the
+                # v1 .jl goal-advance, which rewrites the kernel-cost goal
+                # carried in params) — per control step, on device
+                params = params_update_fn(plant2, params)
             goal = (goal_fn(plant2.qpos, params) if goal_fn is not None
                     else jnp.asarray(False))
             fell = (fall_fn(plant2.qpos, params) if fall_fn is not None
@@ -133,7 +139,7 @@ class EpisodeRunner:
         def run_chunk(ms, plant, params):
             (ms, plant, params), packed = jax.lax.scan(
                 one, (ms, plant, params), None, length=chunk)
-            return ms, plant, packed
+            return ms, plant, params, packed
 
         fn = jax.jit(run_chunk)
         self._chunk_cache[key] = fn
@@ -151,6 +157,7 @@ class EpisodeRunner:
         params=None,
         chunk: int = 50,
         plant_update_fn: Optional[Callable] = None,
+        params_update_fn: Optional[Callable] = None,
         metrics_path: Optional[str] = None,
     ) -> EpisodeResult:
         """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos, params)->bool
@@ -171,7 +178,7 @@ class EpisodeRunner:
                                     (0, 8 - params.shape[0])))
         log = logger if logger is not None else TrajectoryLogger()
         run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn,
-                                         plant_update_fn)
+                                         plant_update_fn, params_update_fn)
         met = JSONLWriter(metrics_path)
 
         nu = self.model.nu
@@ -180,7 +187,7 @@ class EpisodeRunner:
         while steps < max_steps:
             n = min(chunk, max_steps - steps)
             t_chunk = _time.perf_counter()
-            ms, plant, packed = run_chunk(ms, plant, params)
+            ms, plant, params, packed = run_chunk(ms, plant, params)
             packed = np.asarray(packed)          # ONE host fetch per chunk
             dt_chunk = _time.perf_counter() - t_chunk
             met.write(kind="chunk", task=self.spec.name, steps=n,
@@ -319,6 +326,73 @@ def collect_humanoid(
             # reference saves ONLY successful episodes (:268-275)
             res.logger.save_split_dirs(out_dir)
         results.append((ep, res.goal_reached, res.steps))
+    return results
+
+
+@functools.lru_cache(maxsize=None)
+def _jl_goal_advance(goal_step=(1.0, 0.0), threshold: float = 0.15):
+    """Reference src/Humanoid_datacollection.jl:181-185 goal-advance: every
+    control step with the torso xy within `threshold` of the goal increments
+    a counter and sets Position = counter * goal_step. params layout:
+    [goal_x, goal_y, goal_z, counter, ...]."""
+    sx, sy = float(goal_step[0]), float(goal_step[1])
+
+    def params_update(plant, params):
+        near = jnp.linalg.norm(plant.qpos[0:2] - params[0:2]) < threshold
+        counter = params[3] + near.astype(params.dtype)
+        return params.at[0].set(counter * sx).at[1].set(counter * sy) \
+                     .at[3].set(counter)
+
+    return params_update
+
+
+def collect_humanoid_jl(
+    n_episodes: int = 1,
+    out_dir: str = "data",
+    seed: int = 0,
+    max_steps: int = 10000,
+    goal_threshold: float = 0.15,
+    save: bool = True,
+    shard_index: int = 0,
+    num_shards: int = 1,
+    use_kernel: bool = True,
+    mppi_override: Optional[dict] = None,
+    metrics_path: Optional[str] = None,
+    chunk: int = 50,
+):
+    """Reference src/Humanoid_datacollection.jl driver: v3 cost at K=75,
+    sigma=0.5, default stand init (pose randomization is a v2 feature), and
+    an ADVANCING goal — Position starts (1, 0); each control step with the
+    torso xy within `goal_threshold` increments a counter and re-targets
+    Position = counter * (1, 0) (:14-17,181-185 — including the reference
+    quirk that the first "reach" leaves the goal at (1,0)). Logs 55-col
+    [qpos; qvel] rows and saves unconditionally into
+    ``out_dir/<timestamp>/{states,actions,times}.csv`` (:29-30,194-212).
+
+    Runs through the Pallas kernel path by default so the advancing goal is
+    a runtime cost parameter evaluated on device each step (use_kernel=False
+    falls back to the jnp cost with the goal FIXED at (1,0,1.28) — the
+    advance then only moves the logged params, documented deviation)."""
+    from datetime import datetime
+
+    results = []
+    cost_kw = {"param_target": True} if use_kernel else {"target": (1.0, 0.0, 1.28)}
+    runner = EpisodeRunner("humanoid_collect_jl", use_kernel=use_kernel,
+                           cost_kwargs_override=cost_kw,
+                           mppi_override=mppi_override)
+    advance = _jl_goal_advance((1.0, 0.0), goal_threshold)
+
+    for ep in range(n_episodes):
+        if ep % num_shards != shard_index:
+            continue
+        params = np.array([1.0, 0.0, 1.28, 0.0], np.float32)
+        res = runner.run(max_steps=max_steps, seed=seed + ep,
+                         params=params, params_update_fn=advance,
+                         metrics_path=metrics_path, chunk=chunk)
+        if save:
+            ts = datetime.now().strftime("%Y-%m-%d_%H%M%S") + f"_{ep:03d}"
+            res.logger.save_run_dir(os.path.join(out_dir, ts))
+        results.append((ep, res.steps))
     return results
 
 

@@ -83,6 +83,10 @@ TASKS = {
             K=30, T=75, lam=1.0, sigma=0.75),
         _mk("humanoid_collect", "humanoid.xml", humanoid_cost.make_costs,
             K=50, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
+        # reference src/Humanoid_datacollection.jl:19-23 — v3 cost, K=75,
+        # advancing goal (collect.runner.collect_humanoid_jl)
+        _mk("humanoid_collect_jl", "humanoid.xml", humanoid_cost.make_costs,
+            K=75, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
         # reference src/Humanoid_datacollection_v2.py:37-40 — FD-velocity
         # cost, hysteresis gait phase, double replan per control step
         _mk("humanoid_collect_v2py", "humanoid.xml",

@@ -53,6 +53,9 @@ class TrainConfig:
     # opt state + step/epoch) — the reference only has a commented-out
     # torch.load resume line (learning/train.py:78); here resume is real
     resume_from: Optional[str] = None
+    # train/eval loss-curve PNG written after the run (reference
+    # learning/train_quadruped.py:172-187); None -> skip
+    plot_path: Optional[str] = None
 
 
 PRESET_CONFIGS = {
@@ -152,6 +155,30 @@ def load_train_state(path: str, state: "TrainState"):
     return state, int(got["epoch"]) + 1
 
 
+def save_loss_curve(path: str, history) -> Optional[str]:
+    """Train/eval loss-curve PNG (reference learning/train_quadruped.py:
+    172-187). Returns the path, or None when matplotlib is unavailable."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    epochs = [h[0] for h in history]
+    fig, ax = plt.subplots(figsize=(7, 4))
+    ax.plot(epochs, [h[1] for h in history], label="train loss")
+    ax.plot(epochs, [h[2] for h in history], label="eval loss")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("MSE loss")
+    ax.set_yscale("log")
+    ax.legend()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path
+
+
 def train_model(
     states_dir: str,
     actions_dir: str,
@@ -187,6 +214,7 @@ def train_model(
     best_path = None
     global_step = int(state.step)
     train_loss = float("nan")
+    history = []  # (epoch, train_loss, eval_loss) for the loss-curve plot
     for epoch in range(start_epoch, cfg.epochs):
         with Timer() as t_ep:
             losses = []
@@ -215,6 +243,7 @@ def train_model(
             eval_loss, mean_abs, max_abs, mean_pct = train_loss, 0.0, 0.0, 0.0
             col_diff = np.zeros(1)
 
+        history.append((epoch, train_loss, eval_loss))
         log.write(kind="epoch", epoch=epoch, train_loss=train_loss,
                   eval_loss=eval_loss, mean_abs=mean_abs, max_abs=max_abs,
                   mean_pct=mean_pct, seconds=t_ep.seconds)
@@ -234,6 +263,8 @@ def train_model(
             save_train_state(cfg.ckpt_dir, "state_last", state, epoch)
 
     final_path = save_checkpoint(cfg.ckpt_dir, "model_final", state.params)
+    if cfg.plot_path and history:
+        save_loss_curve(cfg.plot_path, history)
     log.close()
     return {
         "best_eval_loss": best_eval,

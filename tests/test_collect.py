@@ -232,3 +232,45 @@ def test_cli_run_and_replay(tmp_path, capsys):
     assert rc == 0
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["frames"] == 4
+
+
+def test_jl_goal_advance_counter_quirk():
+    """Reference Humanoid_datacollection.jl:181-185: every step within the
+    threshold increments the counter and sets Position = counter*(1,0) —
+    the FIRST 'reach' leaves the goal at (1,0)."""
+    import jax.numpy as jnp
+
+    from humanoid_mppi_rl_tpu.collect.runner import _jl_goal_advance
+
+    adv = _jl_goal_advance((1.0, 0.0), 0.15)
+
+    class P:
+        qpos = jnp.asarray([1.05, 0.02, 1.28])
+
+    params = jnp.asarray([1.0, 0.0, 1.28, 0.0])
+    p1 = adv(P, params)           # within 0.15 -> counter 1, goal stays (1,0)
+    np.testing.assert_allclose(np.asarray(p1), [1.0, 0.0, 1.28, 1.0])
+    p2 = adv(P, p1)               # still near -> counter 2, goal (2,0)
+    np.testing.assert_allclose(np.asarray(p2), [2.0, 0.0, 1.28, 2.0])
+
+    class Far:
+        qpos = jnp.asarray([0.0, 0.0, 1.28])
+
+    p3 = adv(Far, p2)             # far -> unchanged
+    np.testing.assert_allclose(np.asarray(p3), np.asarray(p2))
+
+
+def test_collect_humanoid_jl_smoke(tmp_path):
+    """v1 .jl collector: advancing-goal episode, 55-col states,
+    unconditional save."""
+    from humanoid_mppi_rl_tpu.collect.runner import collect_humanoid_jl
+
+    out = str(tmp_path / "jl")
+    results = collect_humanoid_jl(
+        n_episodes=1, out_dir=out, max_steps=6, use_kernel=False, chunk=3,
+        mppi_override={"n_samples": 8, "horizon": 4})
+    assert results == [(0, 6)]
+    run_dirs = sorted(glob.glob(os.path.join(out, "*")))
+    assert len(run_dirs) == 1
+    states = np.loadtxt(os.path.join(run_dirs[0], "states.csv"), delimiter=",")
+    assert states.shape == (6, 55)

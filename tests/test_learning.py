@@ -126,3 +126,17 @@ def test_train_resume_roundtrip(toy_dataset_dirs, tmp_path):
     assert epochs == [4, 5]
     assert np.isfinite(out2["best_eval_loss"]) and np.isfinite(
         out1["best_eval_loss"])
+
+
+def test_loss_curve_png(toy_dataset_dirs, tmp_path):
+    """plot_path writes the train/eval loss-curve PNG (reference
+    learning/train_quadruped.py:172-187)."""
+    sdir, adir = toy_dataset_dirs
+    png = str(tmp_path / "loss.png")
+    cfg = TrainConfig(model_preset="cartpole_attention", epochs=2,
+                      batch_size=32, ckpt_dir=str(tmp_path / "ck"),
+                      eval_split=0.2, plot_path=png)
+    train_model(sdir, adir, cfg)
+    import importlib.util
+    if importlib.util.find_spec("matplotlib"):
+        assert os.path.exists(png) and os.path.getsize(png) > 1000
