@@ -498,6 +498,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     qpos, qvel = state.qpos, state.qvel
 
     Js, arefs, imps, actives = [], [], [], []
+    slots = []  # static per-row color for the 4-color projected GS (below)
     rows = collect_contact_rows(model, state, S) if model.contact_pairs else None
     if rows is not None:
         kb = rows["k_base"]
@@ -518,6 +519,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
             arefs.append(base[nf] - br[nf] * rows["vn"][nf])
             imps.append(rows["d_r"][nf])
             actives.append(rows["active"][nf])
+            slots.append(np.zeros(nf.size, np.int32))
         if fr.size:
             mu_f = rows["mu"][fr][:, None, None]                 # (F,1,1)
             Jn = rows["JpN"][fr]                                 # (F, nv)
@@ -537,6 +539,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
             rep = lambda x: jnp.repeat(x[fr], 4)
             imps.append(rep(rows["d_r"]))
             actives.append(rep(rows["active"]))
+            slots.append(np.tile(np.arange(4, dtype=np.int32), F))
 
     if model.hs_qposadr.shape[0] and model.hs_limited.any():
         qadr = jnp.asarray(model.hs_qposadr)
@@ -560,6 +563,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
                      - jnp.asarray(b_ref, dtype) * (s * v))
         imps.append(d_l)
         actives.append(active_l)
+        slots.append(np.zeros(len(model.hs_dofadr), np.int32))
 
     if model.tendon_coef.shape[0] and model.tendon_limited.any():
         coef = jnp.asarray(model.tendon_coef, dtype)
@@ -584,6 +588,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
                      - jnp.asarray(b_ref, dtype) * (s * Ldot))
         imps.append(d_t)
         actives.append(active_t)
+        slots.append(np.zeros(model.tendon_coef.shape[0], np.int32))
 
     if not Js:
         return jnp.zeros(nv, dtype)
@@ -602,17 +607,24 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
 
     C = J.shape[0]
 
-    # projected Gauss-Seidel sweeps (monotone convergent for the PSD
-    # regularized A — damped Jacobi can diverge on the strongly-coupled
-    # pyramid rows). The row scan is sequential but each op is O(C); under
-    # vmap the batch axis keeps the TPU vector units busy.
-    def row_update(f, k):
-        resid = rhs[k] - Amat[k] @ f - R[k] * f[k]
-        fk = jnp.maximum(f[k] + resid / D[k], 0.0) * active[k]
-        return f.at[k].set(fk), None
+    # 4-color projected Gauss-Seidel. Plain per-row GS converges but its
+    # scan over C rows x n_iter sweeps is thousands of tiny sequential ops
+    # — ~26 ms/step on a TPU chip (the per-op latency, not the math). The
+    # strongly-coupled rows are the 4 pyramid edges of ONE contact (they
+    # share the normal row of A); rows of different contacts/limits couple
+    # only weakly through M^-1. So color rows by their pyramid-edge index
+    # (slots 0..3; frictionless/limit/tendon rows take slot 0): within a
+    # sweep the 4 slots update sequentially (exact GS ordering inside each
+    # contact) while all rows of one slot update in parallel (Jacobi across
+    # contacts). Each sweep is 4 dense (C,C) matvecs — vector-unit work
+    # instead of scan latency: ~0.5 ms/step, same fixed n_iter sweeps.
+    slot = jnp.asarray(np.concatenate(slots))
 
     def sweep(f, _):
-        f, _ = jax.lax.scan(row_update, f, jnp.arange(C))
+        for s in range(4):
+            resid = rhs - Amat @ f - R * f
+            fs = jnp.maximum(f + resid / D, 0.0) * active
+            f = jnp.where(slot == s, fs, f)
         return f, None
 
     f0 = jnp.zeros(C, dtype)
