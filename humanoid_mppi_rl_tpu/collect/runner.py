@@ -173,9 +173,9 @@ class EpisodeRunner:
         plant = self.init_state if init_state is None else init_state
         plant = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), plant)
         ms = self.fresh_controller(seed)
-        params = np.zeros(8, np.float32) if params is None else np.asarray(params)
+        params = np.zeros(16, np.float32) if params is None else np.asarray(params)
         params = jnp.asarray(np.pad(params.astype(np.float32),
-                                    (0, 8 - params.shape[0])))
+                                    (0, 16 - params.shape[0])))
         log = logger if logger is not None else TrajectoryLogger()
         run_chunk = self._build_chunk_fn(chunk, state_row_fn, goal_fn, fall_fn,
                                          plant_update_fn, params_update_fn)

@@ -58,12 +58,37 @@ def cartpole(model: PhysicsModel):
     return running, terminal
 
 
+# Runtime cost-parameter slot layout (ctx.params, padded to NP=16 by the
+# rollout kernel; see also solver/kernel_mppi.py which reads the solver
+# scales). Slots 4+ are DELTAS added to the reference defaults, so an
+# all-zero params vector reproduces the reference cost bit-for-bit while a
+# sweep over gait shaping needs NO recompile (kernel compiles cost minutes
+# through the remote-compile service).
+PARAM_SLOTS = {
+    0: "goal_x (absolute; param_target=True)",
+    1: "goal_y",
+    2: "goal_z",
+    3: "goal-advance counter (collect_humanoid_jl driver state)",
+    4: "d_target_vel_x   (+0.3)",
+    5: "d_foot_offset    (+0.5 m swing-foot target ahead of root)",
+    6: "d_swing_vel_w    (+0.15 swing-foot forward-velocity reward)",
+    7: "d_height_w       (+5.0)",
+    8: "d_goal_xy_w      (+12.5)",
+    9: "d_clearance_w    (+2.0)",
+    10: "d_orient_w      (+5.0 roll/pitch)",
+    11: "d_log_sigma     (solver: sigma *= exp(p11))",
+    12: "d_log_temperature (solver: lambda *= exp(p12))",
+}
+
+
 def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
-             param_target: bool = False):
+             param_target: bool = False, param_gait: bool = False):
     """reference src/Humanoid_datacollection_v2.jl:90-160 (see costs/humanoid.py).
 
     param_target=True reads the goal from ctx.params[0:3] at runtime (no
-    recompile per collection episode)."""
+    recompile per collection episode). param_gait=True additionally reads the
+    PARAM_SLOTS[4..10] deltas, so gait-shaping sweeps reuse one compile;
+    zero deltas == the reference weights exactly."""
     id_shin_l = model.body_id("shin_left")
     id_shin_r = model.body_id("shin_right")
     id_foot_l = model.body_id("foot_left")
@@ -76,15 +101,27 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
             tx, ty, tz = ctx.params[0], ctx.params[1], ctx.params[2]
         else:
             tx, ty, tz = tx0, ty0, tz0
+        p = ctx.params
+        if param_gait:
+            tvx_e = tvx + p[4]
+            foot_off = 0.5 + p[5]
+            swing_vel_w = 0.15 + p[6]
+            height_w = 5.0 + p[7]
+            goal_xy_w = 12.5 + p[8]
+            clearance_w = 2.0 + p[9]
+            orient_w = 5.0 + p[10]
+        else:
+            tvx_e, foot_off, swing_vel_w = tvx, 0.5, 0.15
+            height_w, goal_xy_w, clearance_w, orient_w = 5.0, 12.5, 2.0, 5.0
         q = ctx.qpos
         rx, ry, rz = q[0], q[1], q[2]
         roll, pitch, yaw = _rpy((q[3], q[4], q[5], q[6]))
-        cost = 5.0 * (roll * roll + pitch * pitch) + 0.075 * yaw * yaw
+        cost = orient_w * (roll * roll + pitch * pitch) + 0.075 * yaw * yaw
 
         dx, dy = rx - tx, ry - ty
-        cost = cost + 12.5 * jnp.sqrt(dx * dx + dy * dy + 1e-12)
-        cost = cost + 5.0 * jnp.abs(tz - rz)
-        vx, vy = ctx.qvel[0] - tvx, ctx.qvel[1] - tvy
+        cost = cost + goal_xy_w * jnp.sqrt(dx * dx + dy * dy + 1e-12)
+        cost = cost + height_w * jnp.abs(tz - rz)
+        vx, vy = ctx.qvel[0] - tvx_e, ctx.qvel[1] - tvy
         cost = cost + 1.0 * jnp.sqrt(vx * vx + vy * vy + 1e-12)
 
         vxl = ctx.body_com_linvel(model, id_shin_l)[0]
@@ -94,7 +131,7 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
         def sel(a, b):
             return left * a + (1.0 - left) * b
 
-        foot_tx = rx + 0.5
+        foot_tx = rx + foot_off
         fl, fr = ctx.xpos[id_foot_l], ctx.xpos[id_foot_r]
         swing_x = sel(fl[0], fr[0])
         swing_z = sel(fl[2], fr[2])
@@ -103,13 +140,13 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
 
         vfl = ctx.body_com_linvel(model, id_foot_l)[0]
         vfr = ctx.body_com_linvel(model, id_foot_r)[0]
-        cost = cost - 0.15 * sel(vfl, vfr)
+        cost = cost - swing_vel_w * sel(vfl, vfr)
 
         knee_x = sel(ctx.xpos[id_shin_l][0], ctx.xpos[id_shin_r][0])
         cost = cost + 3.0 * (knee_x - foot_tx) ** 2
 
         clearance = swing_z - stance_z
-        cost = cost + jnp.where(clearance < 0.05, 2.0 * clearance**2, 0.0)
+        cost = cost + jnp.where(clearance < 0.05, clearance_w * clearance**2, 0.0)
         leg_cl = fl[1] - fr[1]
         cost = cost + jnp.where(leg_cl < 0.0, 0.5 * leg_cl**2, 0.0)
         cost = cost + 0.01 * _sumsq(u)

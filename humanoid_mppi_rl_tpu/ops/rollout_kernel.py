@@ -51,7 +51,8 @@ def build_rollout_kernel(
     T = horizon
     running_cost, terminal_cost = cost_factory(model, **(cost_kwargs or {}))
     h = model.timestep
-    NP = 8  # runtime cost-parameter slots (e.g. episode goal), fixed width
+    NP = 16  # runtime cost-parameter slots (episode goal, gait tunables,
+    # solver scales — see ops.kernel_costs.PARAM_SLOTS), fixed width
 
     clo = None if ctrl_low is None else [float(x) for x in ctrl_low]
     chi = None if ctrl_high is None else [float(x) for x in ctrl_high]

@@ -53,6 +53,14 @@ def make_kernel_mppi(
         U = mppi_state.U
         dtype = U.dtype
         sigma = jnp.asarray(cfg.sigma, dtype)
+        temperature = jnp.asarray(cfg.temperature, dtype)
+        if params is not None:
+            # runtime solver scales (ops.kernel_costs.PARAM_SLOTS 11/12):
+            # zero-padded params leave sigma/temperature at the config values
+            pvec = jnp.asarray(params, dtype).reshape(-1)
+            pvec = jnp.pad(pvec, (0, max(0, 13 - pvec.shape[0])))
+            sigma = sigma * jnp.exp(pvec[11])
+            temperature = temperature * jnp.exp(pvec[12])
         noise = sigma * jax.random.normal(sub, (cfg.T, model.nu, cfg.K), dtype)
 
         qpK = jnp.broadcast_to(plant.qpos.astype(dtype)[:, None], (model.nq, cfg.K))
@@ -61,7 +69,7 @@ def make_kernel_mppi(
         costs, _, _ = rollouts(qpK, qvK, t0, U, noise, params=params)
 
         beta = jnp.min(costs)
-        w = jnp.exp(-(costs - beta) / cfg.temperature)
+        w = jnp.exp(-(costs - beta) / temperature)
         norm = jnp.sum(w) + cfg.weight_eps
         w = w / norm
         update = jnp.einsum("tuk,k->tu", noise, w).astype(dtype)

@@ -161,8 +161,34 @@ def test_kernel_runtime_params_cost_equivalence():
     pm = build_from_mjcf(_asset("humanoid"))
     ctx, *_ = _make_ctx(pm)
     goal = (1.3, -0.4, 1.2)
-    ctx.params = [jnp.asarray(g, jnp.float32) for g in goal] + [0.0] * 5
+    ctx.params = [jnp.asarray(g, jnp.float32) for g in goal] + [0.0] * 13
     run_s, _ = kernel_costs.humanoid(pm, target=goal)
     run_p, _ = kernel_costs.humanoid(pm, param_target=True)
     np.testing.assert_allclose(np.asarray(run_p(ctx, 0)),
                                np.asarray(run_s(ctx, 0)), rtol=1e-6)
+
+
+def test_kernel_gait_params_zero_deltas_match_reference():
+    """param_gait=True with all-zero delta slots == the baked reference cost;
+    nonzero deltas change it (PARAM_SLOTS contract, ops/kernel_costs.py)."""
+    pm = build_from_mjcf(_asset("humanoid"))
+    ctx, *_ = _make_ctx(pm)
+    goal = (1.3, -0.4, 1.2)
+    base = [jnp.asarray(g, jnp.float32) for g in goal] + [0.0] * 13
+
+    ctx.params = base
+    run_s, term_s = kernel_costs.humanoid(pm, target=goal)
+    run_g, term_g = kernel_costs.humanoid(pm, param_target=True,
+                                          param_gait=True)
+    np.testing.assert_allclose(np.asarray(run_g(ctx, 0)),
+                               np.asarray(run_s(ctx, 0)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(term_g(ctx)),
+                               np.asarray(term_s(ctx)), rtol=1e-6)
+
+    # a height-weight delta (slot 7) moves the cost by exactly d_w * |tz - rz|
+    bumped = list(base)
+    bumped[7] = jnp.asarray(0.7, jnp.float32)
+    ctx.params = bumped
+    expect = np.asarray(run_s(ctx, 0)) + 0.7 * np.abs(
+        goal[2] - np.asarray(ctx.qpos[2]))
+    np.testing.assert_allclose(np.asarray(run_g(ctx, 0)), expect, rtol=1e-5)
