@@ -75,12 +75,12 @@ TASKS = {
             K=75, T=100, lam=1.0, sigma=0.75, init_qpos=(0.0, np.pi),
             kernel_cost="cartpole"),
         _mk("humanoid", "humanoid.xml", humanoid_cost.make_costs_v1,
-            K=50, T=100, lam=1.0, sigma=1.0),
+            K=50, T=100, lam=1.0, sigma=1.0, kernel_cost="humanoid_v1"),
         _mk("humanoid_v3", "humanoid.xml", humanoid_cost.make_costs,
             K=30, T=75, lam=1.0, sigma=0.75, kernel_cost="humanoid"),
         # reference src/Humanoid_datacollection.py:35-38 (hard-penalty cost)
         _mk("humanoid_hard", "humanoid.xml", humanoid_cost.make_costs_hard_penalty,
-            K=30, T=75, lam=1.0, sigma=0.75),
+            K=30, T=75, lam=1.0, sigma=0.75, kernel_cost="humanoid_hard"),
         _mk("humanoid_collect", "humanoid.xml", humanoid_cost.make_costs,
             K=50, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
         # reference src/Humanoid_datacollection.jl:19-23 — v3 cost, K=75,

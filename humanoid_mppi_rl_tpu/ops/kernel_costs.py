@@ -78,6 +78,8 @@ PARAM_SLOTS = {
     10: "d_orient_w      (+5.0 roll/pitch)",
     11: "d_log_sigma     (solver: sigma *= exp(p11))",
     12: "d_log_temperature (solver: lambda *= exp(p12))",
+    13: "d_swing_x_w     (+8.0 swing-foot x-target)",
+    14: "d_knee_x_w      (+3.0 swing-knee x-target)",
 }
 
 
@@ -110,9 +112,12 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
             goal_xy_w = 12.5 + p[8]
             clearance_w = 2.0 + p[9]
             orient_w = 5.0 + p[10]
+            swing_x_w = 8.0 + p[13]
+            knee_x_w = 3.0 + p[14]
         else:
             tvx_e, foot_off, swing_vel_w = tvx, 0.5, 0.15
             height_w, goal_xy_w, clearance_w, orient_w = 5.0, 12.5, 2.0, 5.0
+            swing_x_w, knee_x_w = 8.0, 3.0
         q = ctx.qpos
         rx, ry, rz = q[0], q[1], q[2]
         roll, pitch, yaw = _rpy((q[3], q[4], q[5], q[6]))
@@ -136,14 +141,14 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
         swing_x = sel(fl[0], fr[0])
         swing_z = sel(fl[2], fr[2])
         stance_z = sel(fr[2], fl[2])
-        cost = cost + 8.0 * jnp.abs(swing_x - foot_tx)
+        cost = cost + swing_x_w * jnp.abs(swing_x - foot_tx)
 
         vfl = ctx.body_com_linvel(model, id_foot_l)[0]
         vfr = ctx.body_com_linvel(model, id_foot_r)[0]
         cost = cost - swing_vel_w * sel(vfl, vfr)
 
         knee_x = sel(ctx.xpos[id_shin_l][0], ctx.xpos[id_shin_r][0])
-        cost = cost + 3.0 * (knee_x - foot_tx) ** 2
+        cost = cost + knee_x_w * (knee_x - foot_tx) ** 2
 
         clearance = swing_z - stance_z
         cost = cost + jnp.where(clearance < 0.05, clearance_w * clearance**2, 0.0)
@@ -157,6 +162,117 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
 
     def terminal(ctx):
         return 10.0 * _run(ctx, [0.0] * model.nu)
+
+    return running, terminal
+
+
+def humanoid_v1(model: PhysicsModel, target=(2.0, 0.0), target_vel=0.5,
+                step_period: int = 100, horizon: int = 0):
+    """Time-phased-gait v1 cost (reference src/Humanoid_mppi.jl:31-121; the
+    jnp oracle is costs/humanoid.make_costs_v1): a square-wave gait clock
+    alternates the swing side every `step_period` rollout steps. `horizon`
+    is injected by build_rollout_kernel so the terminal's gait clock reads
+    t=T exactly like the array solver (solver/mppi.py:165)."""
+    id_foot_l = model.body_id("foot_left")
+    id_foot_r = model.body_id("foot_right")
+    tx, ty = [float(v) for v in target]
+
+    def running(ctx: StepContext, t):
+        q, v, u = ctx.qpos, ctx.qvel, ctx.ctrl
+        roll, pitch, yaw = _rpy((q[3], q[4], q[5], q[6]))
+        cost = 5.0 * (roll * roll + pitch * pitch) + 0.1 * yaw * yaw
+        dx, dy = q[0] - tx, q[1] - ty
+        cost = cost + 10.0 * jnp.sqrt(dx * dx + dy * dy + 1e-12)
+        cost = cost + 5.0 * jnp.abs(1.28 - q[2])
+        cost = cost + 1.0 * jnp.abs(v[0] - target_vel)
+
+        left_swings = ((t // step_period) % 2 == 0)
+        left = jnp.asarray(left_swings).astype(q[0].dtype)
+        fl, fr = ctx.xpos[id_foot_l], ctx.xpos[id_foot_r]
+        swing_z = left * fl[2] + (1.0 - left) * fr[2]
+        stance_z = left * fr[2] + (1.0 - left) * fl[2]
+        clearance = swing_z - stance_z
+        cost = cost + jnp.where(clearance < 0.05,
+                                5.0 * (0.05 - clearance) ** 2, 0.0)
+        cost = cost + 0.01 * _sumsq(u)
+        return cost
+
+    def terminal(ctx: StepContext):
+        # oracle: terminal_fn(final_state, T) with zero controls — the gait
+        # clock reads the (static) horizon injected at build time
+        saved = ctx.ctrl
+        ctx.ctrl = [jnp.zeros_like(ctx.qpos[0])] * model.nu
+        c = 10.0 * running(ctx, jnp.asarray(horizon, jnp.int32))
+        ctx.ctrl = saved
+        return c
+
+    return running, terminal
+
+
+def humanoid_hard(model: PhysicsModel, target=(2.0, 0.0, 1.28),
+                  target_vel=(0.3, 0.0)):
+    """Hard-penalty gait cost (reference src/Humanoid_datacollection.py:57-186;
+    jnp oracle costs/humanoid.make_costs_hard_penalty), including the [sic]
+    LINEAR height term and the [0.15, 0.21] lateral dead-zone bands."""
+    id_shin_l = model.body_id("shin_left")
+    id_shin_r = model.body_id("shin_right")
+    id_foot_l = model.body_id("foot_left")
+    id_foot_r = model.body_id("foot_right")
+    tx, ty, tz = [float(v) for v in target]
+    tvx, tvy = [float(v) for v in target_vel]
+
+    def _run(ctx: StepContext, u):
+        q, v = ctx.qpos, ctx.qvel
+        roll, pitch, yaw = _rpy((q[3], q[4], q[5], q[6]))
+        cost = 5.0 * (roll * roll + pitch * pitch) + 0.075 * yaw * yaw
+        dx, dy = q[0] - tx, q[1] - ty
+        cost = cost + 12.5 * jnp.sqrt(dx * dx + dy * dy + 1e-12)
+        cost = cost + 5.0 * (tz - q[2])          # [sic] linear, not abs
+        vx, vy = v[0] - tvx, v[1] - tvy
+        cost = cost + 1.0 * jnp.sqrt(vx * vx + vy * vy + 1e-12)
+
+        vxl = ctx.body_com_linvel(model, id_shin_l)[0]
+        vxr = ctx.body_com_linvel(model, id_shin_r)[0]
+        left = (vxl > vxr).astype(q[0].dtype)
+
+        def sel(a, b):
+            return left * a + (1.0 - left) * b
+
+        foot_tx = q[0] + 0.5
+        fl, fr = ctx.xpos[id_foot_l], ctx.xpos[id_foot_r]
+        sl, sr = ctx.xpos[id_shin_l], ctx.xpos[id_shin_r]
+        swing_x = sel(fl[0], fr[0])
+        swing_z = sel(fl[2], fr[2])
+        stance_z = sel(fr[2], fl[2])
+        cost = cost + 8.0 * jnp.abs(swing_x - foot_tx)
+
+        vfl = ctx.body_com_linvel(model, id_foot_l)[0]
+        vfr = ctx.body_com_linvel(model, id_foot_r)[0]
+        cost = cost - 1000.0 * sel(vfl, vfr)
+
+        knee_x = sel(sl[0], sr[0])
+        cost = cost + 3.0 * (knee_x - foot_tx) ** 2
+
+        swing_knee_z = sel(sl[2], sr[2])
+        cost = cost + jnp.where(swing_z >= swing_knee_z - 0.3,
+                                10000.0 * (swing_z - swing_knee_z) ** 2, 0.0)
+        clearance = swing_z - stance_z
+        cost = cost + jnp.where(clearance < 0.005, 100.0 * clearance**2, 0.0)
+
+        leg_cl = jnp.abs(fl[1] - fr[1])
+        cost = cost + jnp.where((leg_cl <= 0.15) | (leg_cl >= 0.21),
+                                100.0 * leg_cl**2, 0.0)
+        knee_cl = jnp.abs(sl[1] - sr[1])
+        cost = cost + jnp.where((knee_cl <= 0.15) | (knee_cl >= 0.21),
+                                100.0 * knee_cl**2, 0.0)
+        cost = cost + 0.01 * _sumsq(u)
+        return cost
+
+    def running(ctx: StepContext, t):
+        return _run(ctx, ctx.ctrl)
+
+    def terminal(ctx: StepContext):
+        return 10.0 * _run(ctx, [jnp.zeros_like(ctx.qpos[0])] * model.nu)
 
     return running, terminal
 
@@ -239,6 +355,8 @@ def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0):
 KERNEL_COSTS = {
     "cartpole": cartpole,
     "humanoid": humanoid,
+    "humanoid_v1": humanoid_v1,
+    "humanoid_hard": humanoid_hard,
     "quadruped": quadruped,
     "quadruped_jl": quadruped_jl,
     "hopper": hopper,

@@ -49,7 +49,13 @@ def build_rollout_kernel(
     """
     nq, nv, nu = model.nq, model.nv, model.nu
     T = horizon
-    running_cost, terminal_cost = cost_factory(model, **(cost_kwargs or {}))
+    kw = dict(cost_kwargs or {})
+    import inspect
+    if "horizon" in inspect.signature(cost_factory).parameters:
+        # clock-dependent terminals (humanoid_v1) need the static horizon so
+        # their terminal gait clock reads t=T like the array solver
+        kw.setdefault("horizon", T)
+    running_cost, terminal_cost = cost_factory(model, **kw)
     h = model.timestep
     NP = 16  # runtime cost-parameter slots (episode goal, gait tunables,
     # solver scales — see ops.kernel_costs.PARAM_SLOTS), fixed width

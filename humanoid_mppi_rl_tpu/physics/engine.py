@@ -29,6 +29,7 @@ the Pallas rollout mega-kernel implements for K=8192-lane planning
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -358,6 +359,25 @@ def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
     return tau, G
 
 
+def _full_f32_matmuls(fn):
+    """Trace `fn` under HIGHEST matmul precision. TPU f32 dots default to
+    bfloat16 multiply passes on the MXU, which is fine for the MPPI noise
+    reductions but NOT for the plant's stiff constraint solve: the coupled
+    PGS iteration (A = J M^-1 J^T, 25 sweeps) diverges to NaN under violent
+    contacts at bf16-pass precision while plain f32 stays stable (observed
+    on a humanoid collection episode: CPU f32 fine, TPU default NaN in one
+    step). The plant is ONE sample with 27x27 matrices — latency-bound, so
+    full-precision passes cost nothing measurable."""
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+
+    return wrapped
+
+
+@_full_f32_matmuls
 def inverse_dynamics(model: PhysicsModel, state: PhysicsState,
                      qacc: Optional[jax.Array] = None) -> jax.Array:
     """mj_inverse analog: the generalized applied force required to realize
@@ -438,6 +458,7 @@ def subtree_com_jacobian(model: PhysicsModel, state: PhysicsState,
     return J
 
 
+@_full_f32_matmuls
 def forward(model: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
             time: Optional[jax.Array] = None) -> PhysicsState:
     """Compute kinematics caches for (qpos, qvel) — mujoco mj_forward analog."""
@@ -632,6 +653,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     return J.T @ f
 
 
+@_full_f32_matmuls
 def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
          solver: str = "coupled") -> PhysicsState:
     """One physics step (mujoco mj_step analog): forward dynamics + Euler.

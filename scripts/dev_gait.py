@@ -35,11 +35,20 @@ SLOT_FLAGS = {
     "d_orient_w": 10,
     "d_log_sigma": 11,
     "d_log_temperature": 12,
+    "d_swing_x_w": 13,
+    "d_knee_x_w": 14,
 }
 
 
 def gait_metrics(rows: np.ndarray, times: np.ndarray, nq: int = 28):
-    """rows: (N, 57) = [qpos(28); qvel(27); foot_l_z; foot_r_z]."""
+    """rows: (N, 57) = [qpos(28); qvel(27); foot_l_z; foot_r_z].
+    Scores only the finite prefix; reports the first non-finite step."""
+    finite = np.isfinite(rows).all(axis=1)
+    nan_step = int(np.argmin(finite)) if not finite.all() else None
+    if nan_step is not None:
+        rows, times = rows[:nan_step], times[:nan_step]
+    if len(rows) < 2:
+        return {"nan_step": nan_step, "steps": int(len(rows))}
     x = rows[:, 0]
     z = rows[:, 2]
     fl = rows[:, 55]
@@ -66,6 +75,7 @@ def gait_metrics(rows: np.ndarray, times: np.ndarray, nq: int = 28):
 
     both_low = np.mean((fl < 0.12) & (fr < 0.12))
     return {
+        "nan_step": nan_step,
         "steps": int(len(rows)),
         "sim_s": round(float(dur), 3),
         "x_progress_m": round(float(x[-1] - x[0]), 3),
@@ -91,6 +101,7 @@ def main():
     ap.add_argument("--goal", type=float, nargs=3, default=[10.0, 0.0, 1.28])
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--block-k", type=int, default=1024)
+    ap.add_argument("--save", default="", help="npz path for the trajectory")
     for flag in SLOT_FLAGS:
         ap.add_argument(f"--{flag.replace('_', '-')}", type=float, default=0.0)
     args = ap.parse_args()
@@ -119,13 +130,19 @@ def main():
                                  model.body_id("foot_right"))
 
     def fall_fn(qpos, p):
-        return qpos[2] < 0.7
+        # NaN-safe: a diverged plant aborts like a fall (NaN comparisons
+        # are False, so `z < 0.7` alone would run to max_steps on NaNs)
+        import jax.numpy as jnp
+        return (qpos[2] < 0.7) | ~jnp.isfinite(qpos[2])
 
     res = runner.run(max_steps=args.steps, seed=args.seed,
                      state_row_fn=row_fn, fall_fn=fall_fn,
                      params=params, chunk=args.chunk)
     rows = np.asarray(res.logger.states)
     times = np.asarray(res.logger.times)
+    acts = np.asarray(res.logger.actions)
+    if args.save:
+        np.savez(args.save, states=rows, actions=acts, times=times)
     out = {"task": args.task, "K": args.k, "H": args.horizon,
            "seed": args.seed, "fell": bool(res.fell), "deltas": deltas}
     out.update(gait_metrics(rows, times, model.nq))

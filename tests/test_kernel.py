@@ -156,6 +156,47 @@ def test_kernel_costs_match_jnp_costs():
         np.testing.assert_allclose(ck, cj, rtol=2e-4)
 
 
+def test_kernel_v1_and_hard_costs_match_jnp_costs():
+    """The v1 time-phased and hard-penalty humanoid kernel costs == their
+    jnp oracles (costs/humanoid.make_costs_v1 / make_costs_hard_penalty),
+    including the gait-clock dependence on t and the terminal at t=T."""
+    pm = build_from_mjcf(_asset("humanoid"))
+    ctx, qpos, qvel, ctrl = _make_ctx(pm)
+    B = qpos.shape[0]
+
+    def oracle(runj, t, zero_ctrl=False):
+        out = []
+        for b in range(B):
+            st = forward(pm, jnp.asarray(qpos[b], jnp.float32),
+                         jnp.asarray(qvel[b], jnp.float32),
+                         jnp.asarray(0.37, jnp.float32))
+            u = (jnp.zeros(pm.nu, jnp.float32) if zero_ctrl
+                 else jnp.asarray(ctrl[b], jnp.float32))
+            out.append(float(runj(st, u, t)))
+        return out
+
+    # v1: check both gait phases and the horizon-injected terminal clock
+    runk, termk = kernel_costs.humanoid_v1(pm, horizon=150)
+    runj, termj = humc.make_costs_v1(pm)
+    for t in (0, 137):
+        np.testing.assert_allclose(np.asarray(runk(ctx, jnp.asarray(t))),
+                                   oracle(runj, t), rtol=2e-4)
+    ctx2, *_ = _make_ctx(pm)
+    np.testing.assert_allclose(
+        np.asarray(termk(ctx2)),
+        [float(termj(forward(pm, jnp.asarray(qpos[b], jnp.float32),
+                             jnp.asarray(qvel[b], jnp.float32),
+                             jnp.asarray(0.37, jnp.float32)),
+                    jnp.asarray(150))) for b in range(B)],
+        rtol=2e-4)
+
+    # hard-penalty variant
+    runk, termk = kernel_costs.humanoid_hard(pm)
+    runj, termj = humc.make_costs_hard_penalty(pm)
+    np.testing.assert_allclose(np.asarray(runk(ctx, 0)), oracle(runj, 0),
+                               rtol=2e-4)
+
+
 def test_kernel_runtime_params_cost_equivalence():
     """param-target cost == statically-baked cost at the same goal."""
     pm = build_from_mjcf(_asset("humanoid"))
