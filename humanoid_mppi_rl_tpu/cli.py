@@ -89,10 +89,12 @@ def cmd_collect(args):
     common = dict(seed=args.seed, max_steps=args.steps,
                   shard_index=args.shard_index, num_shards=args.num_shards)
     if args.robot == "humanoid":
+        extra = {"task_name": args.task} if args.task else {}
         results = collect_humanoid(
             n_episodes=args.episodes, out_dir=args.out,
             use_kernel=args.kernel, mppi_override=_mppi_override(args),
-            retries=args.retries, metrics_path=args.metrics, **common)
+            retries=args.retries, metrics_path=args.metrics, **common,
+            **extra)
     elif args.robot == "humanoid_jl":
         results = collect_humanoid_jl(
             n_episodes=args.episodes, out_dir=args.out,
@@ -232,6 +234,9 @@ def main(argv=None):
     p.add_argument("--robot", required=True,
                    choices=["humanoid", "humanoid_jl", "humanoid_v2py",
                             "quadruped"])
+    p.add_argument("--task", default=None,
+                   help="registry task override for --robot humanoid "
+                        "(e.g. humanoid_walk: tuned gait + narrower noise)")
     p.add_argument("--episodes", type=int, default=10)
     p.add_argument("--steps", type=int, default=10000)
     p.add_argument("--shard-index", type=int, default=0)

@@ -23,7 +23,30 @@ from flax import struct
 from .base import body_com_linvel, quat_rpy
 
 
-def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0), **_unused):
+# Weight presets for make_costs / ops.kernel_costs.humanoid. Defaults are the
+# reference v3 weights (src/Humanoid_mppi_v3.jl); "walk" is NEW — found by a
+# runtime-params sweep on TPU (scripts/dev_gait_sweep.py): the per-sample
+# velocity-gait terms are disabled (in the reference they were sample-constant
+# and never actually optimized, SURVEY.md §3.1) and posture dominates the
+# goal-distance drive. Sampling noise sigma = 0.5*exp(-0.35) ~= 0.352 is part
+# of the preset (see the humanoid_walk task; sigma=0.5 falls within 1.5 s).
+# Measured at K=8192, H=64 on one v5e chip: the winning sweep run walked the
+# full 6 s (1200 steps) without falling at ~0.47 m/s with a ~1.2 s stride.
+# The preset is chaos-sensitive: across 3 seeds of the baked-weights task,
+# one completed a 3 s run upright and the others fell at 1.8-2.0 s — still
+# strictly better than the reference v3 weights, which fell by ~1.35 s on
+# every setting of the sweep.
+WEIGHTS_V3 = dict(w_orient=5.0, w_goal_xy=12.5, w_height=5.0,
+                  w_swing_x=8.0, w_swing_vel=0.15, w_knee_x=3.0,
+                  w_clearance=2.0)
+WEIGHTS_WALK = dict(w_orient=15.0, w_goal_xy=2.5, w_height=20.0,
+                    w_swing_x=0.0, w_swing_vel=0.0, w_knee_x=0.0,
+                    w_clearance=0.0)
+
+
+def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
+               w_orient=5.0, w_goal_xy=12.5, w_height=5.0, w_swing_x=8.0,
+               w_swing_vel=0.15, w_knee_x=3.0, w_clearance=2.0, **_unused):
     id_shin_l = model.body_id("shin_left")
     id_shin_r = model.body_id("shin_right")
     id_foot_l = model.body_id("foot_left")
@@ -39,10 +62,10 @@ def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0), **_unused)
         vel_xy = qvel[0:2]
 
         roll, pitch, yaw = quat_rpy(quat)
-        cost = 5.0 * (roll**2 + pitch**2) + 0.075 * yaw**2
+        cost = w_orient * (roll**2 + pitch**2) + 0.075 * yaw**2
 
-        cost += 12.5 * jnp.linalg.norm(root[0:2] - tgt[0:2])
-        cost += 5.0 * jnp.abs(tgt[2] - root[2])
+        cost += w_goal_xy * jnp.linalg.norm(root[0:2] - tgt[0:2])
+        cost += w_height * jnp.abs(tgt[2] - root[2])
         cost += 1.0 * jnp.linalg.norm(vel_xy - tvel)
 
         # gait phase from shin forward velocity comparison
@@ -57,18 +80,18 @@ def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0), **_unused)
         foot_targetx = root[0] + 0.5
         swing_foot = state.xpos[swing_id]
         stance_foot = state.xpos[stance_id]
-        cost += 8.0 * jnp.abs(swing_foot[0] - foot_targetx)
+        cost += w_swing_x * jnp.abs(swing_foot[0] - foot_targetx)
 
         vx_swing = jnp.where(left_swings,
                              body_com_linvel(state, model, id_foot_l)[0],
                              body_com_linvel(state, model, id_foot_r)[0])
-        cost += -0.15 * vx_swing
+        cost += -w_swing_vel * vx_swing
 
         swing_knee_x = state.xpos[knee_id][0]
-        cost += 3.0 * (swing_knee_x - foot_targetx) ** 2
+        cost += w_knee_x * (swing_knee_x - foot_targetx) ** 2
 
         clearance = swing_foot[2] - stance_foot[2]
-        cost += jnp.where(clearance < 0.05, 2.0 * clearance**2, 0.0)
+        cost += jnp.where(clearance < 0.05, w_clearance * clearance**2, 0.0)
 
         leg_clearance = state.xpos[id_foot_l][1] - state.xpos[id_foot_r][1]
         cost += jnp.where(leg_clearance < 0.0, 0.5 * leg_clearance**2, 0.0)
@@ -80,6 +103,15 @@ def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0), **_unused)
         return 10.0 * running(state, jnp.zeros(model.nu, state.qpos.dtype), t)
 
     return running, terminal
+
+
+def make_costs_walk(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
+                    **kw):
+    """The `humanoid_walk` preset (NEW, not in the reference): v3 functional
+    form with WEIGHTS_WALK."""
+    merged = dict(WEIGHTS_WALK)
+    merged.update(kw)
+    return make_costs(model, target=target, target_vel=target_vel, **merged)
 
 
 def make_costs_hard_penalty(model, target=(2.0, 0.0, 1.28),

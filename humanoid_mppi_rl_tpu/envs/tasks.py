@@ -87,6 +87,18 @@ TASKS = {
         # advancing goal (collect.runner.collect_humanoid_jl)
         _mk("humanoid_collect_jl", "humanoid.xml", humanoid_cost.make_costs,
             K=75, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
+        # NEW (no reference analog): tuned walking gait found by a runtime
+        # PARAM_SLOTS sweep on TPU (scripts/dev_gait_sweep.py) — the v3
+        # functional form with costs/humanoid.WEIGHTS_WALK baked in and the
+        # sampling noise narrowed to sigma = 0.5*exp(-0.35) (the winning
+        # "goal_low" sweep setting; sigma=0.5 falls within 1.5 s). At
+        # K=8192, H=64 it walks 6 s at ~0.47 m/s with a ~1.2 s stride
+        # instead of lunging and diving (PARITY.md gap 3)
+        _mk("humanoid_walk", "humanoid.xml", humanoid_cost.make_costs,
+            K=8192, T=64, lam=1.0, sigma=0.5 * float(np.exp(-0.35)),
+            kernel_cost="humanoid",
+            cost_kwargs=dict(humanoid_cost.WEIGHTS_WALK,
+                             target=(10.0, 0.0, 1.28))),
         # reference src/Humanoid_datacollection_v2.py:37-40 — FD-velocity
         # cost, hysteresis gait phase, double replan per control step
         _mk("humanoid_collect_v2py", "humanoid.xml",

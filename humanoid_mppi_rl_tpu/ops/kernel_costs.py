@@ -84,13 +84,17 @@ PARAM_SLOTS = {
 
 
 def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
-             param_target: bool = False, param_gait: bool = False):
+             param_target: bool = False, param_gait: bool = False,
+             w_orient=5.0, w_goal_xy=12.5, w_height=5.0, w_swing_x=8.0,
+             w_swing_vel=0.15, w_knee_x=3.0, w_clearance=2.0):
     """reference src/Humanoid_datacollection_v2.jl:90-160 (see costs/humanoid.py).
 
     param_target=True reads the goal from ctx.params[0:3] at runtime (no
     recompile per collection episode). param_gait=True additionally reads the
     PARAM_SLOTS[4..10] deltas, so gait-shaping sweeps reuse one compile;
-    zero deltas == the reference weights exactly."""
+    zero deltas == the baked weights exactly. The w_* kwargs set the BAKED
+    base weights (defaults = reference v3; costs/humanoid.WEIGHTS_WALK is
+    the tuned walking preset) — runtime deltas add on top of these."""
     id_shin_l = model.body_id("shin_left")
     id_shin_r = model.body_id("shin_right")
     id_foot_l = model.body_id("foot_left")
@@ -107,17 +111,18 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
         if param_gait:
             tvx_e = tvx + p[4]
             foot_off = 0.5 + p[5]
-            swing_vel_w = 0.15 + p[6]
-            height_w = 5.0 + p[7]
-            goal_xy_w = 12.5 + p[8]
-            clearance_w = 2.0 + p[9]
-            orient_w = 5.0 + p[10]
-            swing_x_w = 8.0 + p[13]
-            knee_x_w = 3.0 + p[14]
+            swing_vel_w = w_swing_vel + p[6]
+            height_w = w_height + p[7]
+            goal_xy_w = w_goal_xy + p[8]
+            clearance_w = w_clearance + p[9]
+            orient_w = w_orient + p[10]
+            swing_x_w = w_swing_x + p[13]
+            knee_x_w = w_knee_x + p[14]
         else:
-            tvx_e, foot_off, swing_vel_w = tvx, 0.5, 0.15
-            height_w, goal_xy_w, clearance_w, orient_w = 5.0, 12.5, 2.0, 5.0
-            swing_x_w, knee_x_w = 8.0, 3.0
+            tvx_e, foot_off, swing_vel_w = tvx, 0.5, w_swing_vel
+            height_w, goal_xy_w = w_height, w_goal_xy
+            clearance_w, orient_w = w_clearance, w_orient
+            swing_x_w, knee_x_w = w_swing_x, w_knee_x
         q = ctx.qpos
         rx, ry, rz = q[0], q[1], q[2]
         roll, pitch, yaw = _rpy((q[3], q[4], q[5], q[6]))

@@ -85,7 +85,10 @@ def make_sharded_kernel_mppi(
     from ..solver.mppi import MPPIState as _MPPIState
 
     if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+        # decide from the MESH's devices, not the process default backend:
+        # under a forced-cpu virtual mesh the default backend can still
+        # report the real accelerator (e.g. the axon TPU tunnel plugin)
+        interpret = mesh.devices.flat[0].platform == "cpu"
     n_shards = mesh.shape[axis]
     if cfg.K % n_shards:
         raise ValueError(f"K={cfg.K} not divisible by mesh axis {n_shards}")

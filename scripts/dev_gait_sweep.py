@@ -45,7 +45,13 @@ def main():
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--save-dir", default="")
+    ap.add_argument("--spec", default="",
+                    help='JSON {"name": {flag: delta, ...}, ...} replacing '
+                         "the built-in SWEEP table")
     args = ap.parse_args()
+    if args.spec:
+        SWEEP.clear()
+        SWEEP.update(json.loads(args.spec))
 
     import jax.numpy as jnp
 

@@ -233,3 +233,31 @@ def test_kernel_gait_params_zero_deltas_match_reference():
     expect = np.asarray(run_s(ctx, 0)) + 0.7 * np.abs(
         goal[2] - np.asarray(ctx.qpos[2]))
     np.testing.assert_allclose(np.asarray(run_g(ctx, 0)), expect, rtol=1e-5)
+
+
+def test_kernel_walk_weights_match_jnp_oracle():
+    """Baked w_* kwargs (the WEIGHTS_WALK preset) give the same kernel cost
+    as the jnp make_costs_walk oracle, and differ from the v3 default."""
+    pm = build_from_mjcf(_asset("humanoid"))
+    ctx, qpos, qvel, ctrl = _make_ctx(pm)
+    B = qpos.shape[0]
+
+    runk, termk = kernel_costs.humanoid(pm, **humc.WEIGHTS_WALK)
+    runj, termj = humc.make_costs_walk(pm)
+    cj = []
+    for b in range(B):
+        st = forward(pm, jnp.asarray(qpos[b], jnp.float32),
+                     jnp.asarray(qvel[b], jnp.float32),
+                     jnp.asarray(0.37, jnp.float32))
+        cj.append(float(runj(st, jnp.asarray(ctrl[b], jnp.float32), 0)))
+    np.testing.assert_allclose(np.asarray(runk(ctx, 0)), cj, rtol=2e-4)
+
+    run_v3, _ = kernel_costs.humanoid(pm)
+    assert not np.allclose(np.asarray(runk(ctx, 0)), np.asarray(run_v3(ctx, 0)))
+
+    # the humanoid_walk task preset wires these weights through load_task
+    from humanoid_mppi_rl_tpu.envs.tasks import TASKS
+    spec = TASKS["humanoid_walk"]
+    assert spec.kernel_cost == "humanoid"
+    assert spec.cost_kwargs["w_swing_x"] == 0.0
+    assert spec.mppi.n_samples == 8192 and spec.mppi.horizon == 64
