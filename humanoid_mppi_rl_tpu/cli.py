@@ -18,6 +18,8 @@ engine:
                             plant (src/*_mppi_estimator.py)
   replay   --states CSV     kinematic replay / video render of a logged
                             trajectory (Visualization/vis.ipynb cell 2)
+  profile  --task NAME      N replans under jax.profiler.trace -> trace dir
+                            + wall-clock counters (SURVEY.md §5 tracing)
   bench                     the repo benchmark (bench.py), JSON line out
 """
 
@@ -110,6 +112,57 @@ def cmd_collect(args):
     else:
         raise SystemExit(f"unknown robot {args.robot}")
     print(json.dumps({"robot": args.robot, "results": results}))
+    return 0
+
+
+def cmd_profile(args):
+    """N replans of a task under jax.profiler.trace (SURVEY.md §5 tracing):
+    writes a TensorBoard/perfetto-loadable trace dir + one JSON line of
+    wall-clock counters. The reference's only instrumentation was stdout
+    prints (src/cartpole_mppi_estimator.py:132,149)."""
+    import dataclasses
+    import time
+
+    import numpy as np
+
+    import jax
+
+    from .envs.tasks import load_task
+    from .solver.mppi import MPPIState, make_mppi
+
+    spec, model, dynamics, running, terminal, init_state, cfg = load_task(
+        args.task)
+    ov = _mppi_override(args)
+    if ov:
+        cfg = dataclasses.replace(cfg, **ov)
+    if args.kernel and spec.kernel_cost is not None:
+        from .ops.kernel_costs import KERNEL_COSTS
+        from .solver.kernel_mppi import make_kernel_mppi
+
+        plan = jax.jit(make_kernel_mppi(
+            model, KERNEL_COSTS[spec.kernel_cost], cfg,
+            cost_kwargs=spec.cost_kwargs, block_k=min(1024, cfg.K)))
+    else:
+        plan = jax.jit(make_mppi(dynamics, running, cfg, terminal_fn=terminal))
+    ms = MPPIState.seeded(args.seed, cfg.T, model.nu)
+    t0 = time.perf_counter()
+    a, ms, _ = plan(ms, init_state)
+    np.asarray(a)  # host fetch (see bench.py on remote-tunnel blocking)
+    compile_s = time.perf_counter() - t0
+
+    with jax.profiler.trace(args.out):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            a, ms, _ = plan(ms, init_state)
+        np.asarray(a)
+        lat = (time.perf_counter() - t0) / args.iters
+    print(json.dumps({
+        "task": args.task, "K": cfg.n_samples, "T": cfg.horizon,
+        "kernel": bool(args.kernel and spec.kernel_cost is not None),
+        "replan_ms": round(lat * 1e3, 3),
+        "rollouts_per_s": round(cfg.n_samples / lat, 1),
+        "compile_s": round(compile_s, 1), "trace_dir": args.out,
+    }))
     return 0
 
 
@@ -247,6 +300,14 @@ def main(argv=None):
     _add_kt(p)
     _add_common(p)
     p.set_defaults(fn=cmd_collect)
+
+    p = sub.add_parser("profile", help="trace N replans with jax.profiler")
+    p.add_argument("--task", required=True)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--kernel", action="store_true")
+    _add_kt(p)
+    _add_common(p)
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("train", help="train a dynamics surrogate")
     p.add_argument("--preset", default="humanoid",
