@@ -234,6 +234,24 @@ def test_cli_run_and_replay(tmp_path, capsys):
     assert got["frames"] == 4
 
 
+def test_cli_profile(tmp_path, capsys):
+    """`profile` traces N replans with jax.profiler and reports wall-clock
+    counters (SURVEY.md §5: the reference's only instrumentation was stdout
+    prints)."""
+    import glob
+    import json
+
+    from humanoid_mppi_rl_tpu.cli import main
+
+    out = str(tmp_path / "trace")
+    rc = main(["profile", "--task", "cartpole", "--K", "8", "--T", "5",
+               "--iters", "2", "--out", out])
+    assert rc == 0
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["replan_ms"] > 0 and got["K"] == 8
+    assert glob.glob(os.path.join(out, "**", "*"), recursive=True)
+
+
 def test_jl_goal_advance_counter_quirk():
     """Reference Humanoid_datacollection.jl:181-185: every step within the
     threshold increments the counter and sets Position = counter*(1,0) —
