@@ -32,6 +32,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from humanoid_mppi_rl_tpu.utils.compile_cache import enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+
     from humanoid_mppi_rl_tpu.envs.tasks import load_task
     from humanoid_mppi_rl_tpu.ops.kernel_costs import KERNEL_COSTS
     from humanoid_mppi_rl_tpu.solver.kernel_mppi import make_kernel_mppi
@@ -79,6 +82,7 @@ def main():
         "extra": {
             "replan_latency_ms": round(lat_med * 1e3, 3),
             "compile_s": round(compile_s, 1),
+            "compile_cache": cache_dir,
             "device": str(jax.devices()[0]),
             "K": K, "H": H, "task": task,
             "steps_per_sec": round(rollouts_per_sec * H, 1),

@@ -266,6 +266,8 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from .utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(prog="humanoid_mppi_rl_tpu",
                                  description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)

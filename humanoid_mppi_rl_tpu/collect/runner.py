@@ -161,8 +161,9 @@ class EpisodeRunner:
         metrics_path: Optional[str] = None,
     ) -> EpisodeResult:
         """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos, params)->bool
-        jnp — all evaluated on device (scanned in chunks). `params` is an
-        8-slot f32 vector carrying episode-varying quantities (goals) so
+        jnp — all evaluated on device (scanned in chunks). `params` is a
+        16-slot f32 vector (layout: ops.kernel_costs.PARAM_SLOTS) carrying
+        episode-varying quantities (goals, gait deltas, solver scales) so
         repeated runs reuse the compiled chunk. `metrics_path` appends a
         JSONL event per chunk (replan latency, control steps/s — the
         observability the reference lacks, SURVEY.md §5)."""
@@ -174,6 +175,10 @@ class EpisodeRunner:
         plant = jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), plant)
         ms = self.fresh_controller(seed)
         params = np.zeros(16, np.float32) if params is None else np.asarray(params)
+        if params.shape[0] > 16:
+            raise ValueError(
+                f"params has {params.shape[0]} slots; the kernel cost param "
+                f"vector is at most 16 (ops.kernel_costs.PARAM_SLOTS)")
         params = jnp.asarray(np.pad(params.astype(np.float32),
                                     (0, 16 - params.shape[0])))
         log = logger if logger is not None else TrajectoryLogger()

@@ -96,6 +96,13 @@ def make_sharded_kernel_mppi(
     bk = min(block_k, k_local)
     if k_local % bk:
         raise ValueError(f"local K={k_local} not divisible by block_k={bk}")
+    # noise blocks: one per shard by default; cfg.noise_block makes the drawn
+    # field identical to the single-device make_kernel_mppi stream
+    nblock = cfg.noise_block or k_local
+    if k_local % nblock:
+        raise ValueError(
+            f"local K={k_local} not divisible by noise_block={nblock}")
+    nblocks_local = k_local // nblock
 
     ctrl_low = None if cfg.ctrl_low is None else _np.asarray(cfg.ctrl_low)
     ctrl_high = None if cfg.ctrl_high is None else _np.asarray(cfg.ctrl_high)
@@ -110,39 +117,50 @@ def make_sharded_kernel_mppi(
         shard_map,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(axis), P()),
-        out_specs=(P(), P(), P(), P()),
+        out_specs=(P(), P(), P(), P(), P()),
         check_vma=False,
     )
-    def _body(U, qpos, qvel, t0, shard_keys, params):
-        key = shard_keys[0]
+    def _body(U, qpos, qvel, t0, block_keys, params):
         dtype = U.dtype
-        sigma = jnp.asarray(cfg.sigma, dtype)
-        noise = sigma * jax.random.normal(
-            key, (cfg.T, model.nu, k_local), dtype)
+        # runtime solver scales (ops.kernel_costs.PARAM_SLOTS 11/12), matching
+        # solver.kernel_mppi.make_kernel_mppi so a params vector plans
+        # identically single-chip and sharded
+        sigma = jnp.asarray(cfg.sigma, dtype) * jnp.exp(params[11])
+        temperature = jnp.asarray(cfg.temperature, dtype) * jnp.exp(params[12])
+        draws = jax.vmap(
+            lambda k: jax.random.normal(k, (cfg.T, model.nu, nblock), dtype)
+        )(block_keys)
+        noise = sigma * jnp.moveaxis(draws, 0, 2).reshape(
+            cfg.T, model.nu, k_local)
         qpK = jnp.broadcast_to(qpos[:, None], (model.nq, k_local))
         qvK = jnp.broadcast_to(qvel[:, None], (model.nv, k_local))
         t0K = jnp.broadcast_to(t0, (1, k_local))
         costs, _, _ = rollouts(qpK, qvK, t0K, U, noise, params=params)
 
         beta = jax.lax.pmin(jnp.min(costs), axis)
-        w = jnp.exp(-(costs - beta) / cfg.temperature)
+        w = jnp.exp(-(costs - beta) / temperature)
         norm = jax.lax.psum(jnp.sum(w), axis) + cfg.weight_eps
         update = jax.lax.psum(jnp.einsum("tuk,k->tu", noise, w), axis) / norm
         mean_cost = jax.lax.pmean(jnp.mean(costs), axis)
         ess = norm * norm / jax.lax.psum(jnp.sum(w * w), axis)
-        return update, beta, mean_cost, ess
+        wn = w / norm
+        entropy = -jax.lax.psum(
+            jnp.sum(wn * jnp.where(wn > 0, jnp.log(wn + 1e-30), 0.0)), axis)
+        return update, beta, mean_cost, ess, entropy
 
     def plan(mppi_state, plant, params=None):
         key, sub = jax.random.split(mppi_state.key)
-        shard_keys = jax.vmap(lambda i: jax.random.fold_in(sub, i))(
-            jnp.arange(n_shards, dtype=jnp.uint32))
+        block_keys = jax.vmap(lambda i: jax.random.fold_in(sub, i))(
+            jnp.arange(n_shards * nblocks_local, dtype=jnp.uint32))
         U = mppi_state.U
         dtype = U.dtype
         if params is None:
-            params = jnp.zeros(8, dtype)
-        update, beta, mean_cost, ess = _body(
+            params = jnp.zeros(16, dtype)
+        pvec = jnp.asarray(params, dtype).reshape(-1)
+        pvec = jnp.pad(pvec, (0, max(0, 16 - pvec.shape[0])))
+        update, beta, mean_cost, ess, entropy = _body(
             U, plant.qpos.astype(dtype), plant.qvel.astype(dtype),
-            plant.time.astype(dtype), shard_keys, jnp.asarray(params, dtype))
+            plant.time.astype(dtype), block_keys, pvec)
         update = update.astype(dtype)
         if cfg.update_mode == "replace":
             U_new = update
@@ -153,7 +171,7 @@ def make_sharded_kernel_mppi(
         action = _clip_ctrl(U_new[0], cfg)
         diag = MPPIDiagnostics(
             beta=beta, mean_cost=mean_cost, ess=ess,
-            weight_entropy=jnp.asarray(0.0, dtype),
+            weight_entropy=entropy,
             update_norm=jnp.linalg.norm(update),
         )
         return action, _MPPIState(U=shift_plan(U_new, cfg.tail_decay), key=key), diag
@@ -196,7 +214,9 @@ def make_sharded_mppi(
         update, (w, beta) = update_op(costs, noise)
         mean_cost = jax.lax.pmean(jnp.mean(costs), axis)
         ess = 1.0 / jax.lax.psum(jnp.sum(w * w), axis)
-        return update, beta, mean_cost, ess, jnp.sum(w)
+        entropy = -jax.lax.psum(
+            jnp.sum(w * jnp.where(w > 0, jnp.log(w + 1e-30), 0.0)), axis)
+        return update, beta, mean_cost, ess, entropy
 
     def plan(mppi_state: MPPIState, dyn_state: Any):
         key, sub = jax.random.split(mppi_state.key)
@@ -204,7 +224,7 @@ def make_sharded_mppi(
         shard_keys = jax.vmap(lambda i: jax.random.fold_in(sub, i))(
             jnp.arange(n_shards, dtype=jnp.uint32))
         U = mppi_state.U
-        update, beta, mean_cost, ess, _ = _sharded_plan_body(
+        update, beta, mean_cost, ess, entropy = _sharded_plan_body(
             U, dyn_state, shard_keys)
         update = update.astype(U.dtype)
 
@@ -218,7 +238,7 @@ def make_sharded_mppi(
         U_shifted = shift_plan(U_new, cfg.tail_decay)
         diag = MPPIDiagnostics(
             beta=beta, mean_cost=mean_cost, ess=ess,
-            weight_entropy=jnp.asarray(0.0, U.dtype),
+            weight_entropy=entropy,
             update_norm=jnp.linalg.norm(update),
         )
         return action, MPPIState(U=U_shifted, key=key), diag

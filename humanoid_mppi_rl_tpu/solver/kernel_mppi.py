@@ -21,7 +21,8 @@ import numpy as np
 from ..ops.rollout_kernel import build_rollout_kernel
 from ..physics import PhysicsState
 from ..physics.model import PhysicsModel
-from .mppi import MPPIConfig, MPPIDiagnostics, MPPIState, _clip_ctrl, shift_plan
+from .mppi import (MPPIConfig, MPPIDiagnostics, MPPIState, _clip_ctrl,
+                   sample_noise_blocked, shift_plan)
 
 
 def make_kernel_mppi(
@@ -61,7 +62,12 @@ def make_kernel_mppi(
             pvec = jnp.pad(pvec, (0, max(0, 13 - pvec.shape[0])))
             sigma = sigma * jnp.exp(pvec[11])
             temperature = temperature * jnp.exp(pvec[12])
-        noise = sigma * jax.random.normal(sub, (cfg.T, model.nu, cfg.K), dtype)
+        if cfg.noise_block is None:
+            noise = sigma * jax.random.normal(sub, (cfg.T, model.nu, cfg.K), dtype)
+        else:
+            # sharding-invariant stream: same field as the mesh-sharded path
+            noise = sigma * sample_noise_blocked(
+                sub, cfg.T, model.nu, cfg.K, cfg.noise_block, 0, dtype)
 
         qpK = jnp.broadcast_to(plant.qpos.astype(dtype)[:, None], (model.nq, cfg.K))
         qvK = jnp.broadcast_to(plant.qvel.astype(dtype)[:, None], (model.nv, cfg.K))

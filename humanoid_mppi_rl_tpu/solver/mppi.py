@@ -66,6 +66,11 @@ class MPPIConfig:
     replans_per_step: int = 1    # sample/update passes per control step; the
     # v2.py humanoid collector runs mppi_step TWICE before executing + shifting
     # (reference src/Humanoid_datacollection_v2.py:303,315)
+    noise_block: Optional[int] = None  # sharding-invariant noise: draw the
+    # (T, nu, K) field in fixed-size K-blocks keyed by fold_in(sub, block_idx)
+    # so any mesh whose K/n_shards is a multiple of noise_block samples the
+    # SAME noise — makes sharded replans bit-comparable to single-device.
+    # None = fastest layout (one draw single-device; one block per shard).
 
     @property
     def K(self) -> int:
@@ -170,6 +175,25 @@ def rollout_costs(
         return acc
 
     return jax.vmap(one_sample)(noise)
+
+
+def sample_noise_blocked(sub: jax.Array, T: int, nu: int, n_local: int,
+                         block: int, block_offset=0,
+                         dtype=jnp.float32) -> jax.Array:
+    """Draw an (T, nu, n_local) noise field as n_local/block fixed-size
+    K-blocks, block b keyed by fold_in(sub, block_offset + b).
+
+    The global noise field for sample k depends only on (sub, k // block),
+    never on the device layout — so a sharded replan whose shards each hold a
+    whole number of blocks draws exactly the single-device stream
+    (MPPIConfig.noise_block)."""
+    if n_local % block:
+        raise ValueError(f"n_local={n_local} not divisible by noise block {block}")
+    nblocks = n_local // block
+    idx = jnp.asarray(block_offset, jnp.uint32) + jnp.arange(nblocks, dtype=jnp.uint32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(sub, i))(idx)
+    draws = jax.vmap(lambda k: jax.random.normal(k, (T, nu, block), dtype))(keys)
+    return jnp.moveaxis(draws, 0, 2).reshape(T, nu, n_local)
 
 
 def mppi_weights(costs: jax.Array, temperature: float, weight_eps: float = 0.0):

@@ -71,6 +71,10 @@ def main():
         return (qpos[2] < 0.7) | ~jnp.isfinite(qpos[2])
 
     names = args.only if args.only else list(SWEEP)
+    unknown = [n for n in names if n not in SWEEP]
+    if unknown:
+        ap.error(f"unknown --only setting(s) {unknown}; "
+                 f"valid: {sorted(SWEEP)}")
     for name in names:
         deltas = SWEEP[name]
         params = np.zeros(16, np.float32)

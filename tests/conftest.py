@@ -18,3 +18,8 @@ import jax
 # the config update still wins as long as no computation has run yet.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: repeat suite runs skip recompiles
+from humanoid_mppi_rl_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
