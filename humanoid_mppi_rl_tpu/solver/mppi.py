@@ -231,7 +231,13 @@ def make_mppi(
     fused weighting kernel or a psum-sharded version; default is plain jnp.
     """
 
-    def plan(mppi_state: MPPIState, dyn_state: Any):
+    def plan(mppi_state: MPPIState, dyn_state: Any, noise: Any = None):
+        """noise: optional injected (K, T, nu) perturbation field replacing
+        the PRNG draw — the matched-noise trajectory-parity contract
+        (SURVEY.md §7 'noise-stream contract'): feeding the reference
+        loop's recorded stream must reproduce its control sequence."""
+        if noise is not None and cfg.replans_per_step != 1:
+            raise ValueError("noise injection requires replans_per_step=1")
         key = mppi_state.key
         U = mppi_state.U
         sigma = jnp.asarray(cfg.sigma, dtype=U.dtype)
@@ -239,10 +245,12 @@ def make_mppi(
         # one or more sample->weight->update passes before acting; only the
         # last pass's diagnostics survive (unrolled — replans_per_step <= 2
         # in practice)
+        injected = noise
         for _ in range(cfg.replans_per_step):
             key, sub = jax.random.split(key)
-            noise = sigma * jax.random.normal(
-                sub, (cfg.K, cfg.T, U.shape[-1]), dtype=U.dtype)
+            noise = injected if injected is not None else (
+                sigma * jax.random.normal(
+                    sub, (cfg.K, cfg.T, U.shape[-1]), dtype=U.dtype))
             costs = rollout_costs(
                 dynamics_fn, cost_fn, terminal_fn, cfg, dyn_state, U, noise)
             if update_op is not None:
