@@ -220,7 +220,16 @@ def cmd_estimate(args):
 
     like = net.init(jax.random.PRNGKey(0),
                     jnp.zeros((1, x0_dim + act_dim)), deterministic=True)
-    params = load_checkpoint(args.checkpoint, like) if args.checkpoint else like
+    if args.torch_checkpoint:
+        # reference-trained .pth weights (src/cartpole_mppi_estimator.py:28-34)
+        from .learning.torch_import import load_reference_checkpoint
+
+        net, params = load_reference_checkpoint(args.torch_checkpoint,
+                                                f"{preset}_attention")
+    elif args.checkpoint:
+        params = load_checkpoint(args.checkpoint, like)
+    else:
+        params = like
     runner = EstimatorRunner(asset, net.apply, params,
                              ESTIMATOR_CONFIGS[preset], running, terminal,
                              state_slice=state_slice, seed=args.seed)
@@ -327,6 +336,8 @@ def main(argv=None):
                    help="cartpole | quadruped")
     p.add_argument("--checkpoint", default=None,
                    help="orbax checkpoint dir (default: random init)")
+    p.add_argument("--torch-checkpoint", default=None,
+                   help="reference-trained .pth state_dict to import")
     p.add_argument("--steps", type=int, default=200)
     _add_common(p)
     p.set_defaults(fn=cmd_estimate)

@@ -163,8 +163,11 @@ PRESETS = {
     "humanoid_attention": (FeatureAttentionStatePredictor,
                            dict(state_dim=30, action_dim=21, hidden_dim=512,
                                 num_heads=8, attn_layers=7)),
+    # deployed with num_heads=4 (reference Visualization/vis.ipynb cell 4;
+    # the class default 6 does not divide hidden 128 and cannot construct)
     "humanoid_cross": (CrossAttentionStatePredictor,
-                       dict(qpos_dim=28, qvel_dim=27, action_dim=21)),
+                       dict(qpos_dim=28, qvel_dim=27, action_dim=21,
+                            num_heads=4)),
 }
 
 
