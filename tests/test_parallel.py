@@ -114,3 +114,21 @@ def test_sharded_estimator_mppi(mesh8):
     assert action.shape == (12,)
     # replace-mode update: U was zero, so the plan head is the weighted noise
     assert float(diag.ess) >= 1.0
+
+
+def test_distributed_helpers_single_process():
+    """maybe_initialize is a no-op without launcher env; episode_shard
+    covers all episodes exactly once across shards (the run.sh replacement,
+    reference src/run.sh:6-19)."""
+    from humanoid_mppi_rl_tpu.parallel.distributed import (
+        episode_shard, maybe_initialize, process_info)
+
+    assert maybe_initialize() is False
+    info = process_info()
+    assert info["num_processes"] == 1 and info["process_id"] == 0
+    owned = [list(episode_shard(10, shard_index=i, num_shards=3))
+             for i in range(3)]
+    flat = sorted(e for sh in owned for e in sh)
+    assert flat == list(range(10))
+    # default rank/size path (single process -> owns everything)
+    assert list(episode_shard(4)) == [0, 1, 2, 3]
