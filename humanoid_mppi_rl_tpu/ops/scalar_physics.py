@@ -45,6 +45,7 @@ from ..physics.model import (
     SLIDE,
     PhysicsModel,
 )
+from ..physics.contact import RESTITUTION_VCAP as _REST_VCAP
 
 # ---------------------------------------------------------------------------
 # tuple algebra over (B,) lanes; constants are python floats (folded)
@@ -516,6 +517,9 @@ def scalar_step(
             f_l = jnp.maximum(
                 meff * d_r * (d_r * k_base * viol - b_ref * (s_dir * qvel[d])),
                 0.0) * active
+            # restitution cap — matches engine._limit_force
+            f_l = jnp.minimum(f_l, meff * jnp.maximum(
+                _REST_VCAP - s_dir * qvel[d], 0.0) / float(h))
             c_l = meff * d_r * b_ref * active
             tau[d] = tau[d] + s_dir * f_l
             g_diag[d] = g_diag[d] + c_l
@@ -541,9 +545,12 @@ def scalar_step(
         s_dir = jnp.sign(below - above)
         active = (viol > 0).astype(viol.dtype)
         d_r = _imp_scalar(viol, model.tendon_limit_solimp[t])
-        f_t = s_dir * jnp.maximum(
-            m_t * d_r * (d_r * k_base * viol - b_ref * (s_dir * Ldot)),
-            0.0) * active
+        f_t = s_dir * jnp.minimum(
+            jnp.maximum(
+                m_t * d_r * (d_r * k_base * viol - b_ref * (s_dir * Ldot)),
+                0.0) * active,
+            # restitution cap — matches engine._limit_force
+            m_t * jnp.maximum(_REST_VCAP - s_dir * Ldot, 0.0) / float(h))
         c_t = m_t * d_r * b_ref * active
         for d in nz:
             tau[d] = tau[d] + float(coef[d]) * f_t
@@ -621,6 +628,12 @@ def scalar_step(
             c_n = meff_c * d_r * b_ref
             fn = jnp.maximum(
                 meff_c * d_r * d_r * k_base * pen - c_n * vn, 0.0) * active
+            # restitution cap (physics.contact.RESTITUTION_VCAP): same law
+            # as the array penalty tier — unlimited braking, outward push
+            # only up to the cap separation velocity. Without it the planner
+            # discovers foot-slam catapults at large K (VERDICT r1).
+            fn = jnp.minimum(
+                fn, meff_c * jnp.maximum(_REST_VCAP - vn, 0.0) / float(h))
             vt_norm = jnp.sqrt(dot3(vt, vt) + _VT_EPS * _VT_EPS)
             ct = mu * fn / vt_norm if mu else 0.0
             f = sub3(scl3(n_c, fn), scl3(vt, ct) if mu else (0.0, 0.0, 0.0))

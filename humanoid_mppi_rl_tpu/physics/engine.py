@@ -231,7 +231,7 @@ def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl) -> jax.Array:
 
 
 def _limit_force(viol, pos_dot, a0_pos, solref, solimp, meff, lim, dtype,
-                 r_form: bool = False):
+                 r_form: bool = False, h: float = 0.0):
     """Shared solref/solimp limit force law (MuJoCo limit constraints use
     the same soft-constraint dynamics as contacts — see contact.py):
 
@@ -263,6 +263,14 @@ def _limit_force(viol, pos_dot, a0_pos, solref, solimp, meff, lim, dtype,
         gain * (d_r * jnp.asarray(k_base, dtype) * viol
                 - jnp.asarray(b_ref, dtype) * pos_dot - a0_pos),
         0.0) * active
+    if h and not r_form:
+        # restitution cap (contact.RESTITUTION_VCAP): the limit may brake
+        # without bound but only push back out up to the cap velocity —
+        # prevents joint-limit catapults (same exploit as contact slams)
+        from .contact import RESTITUTION_VCAP
+
+        f_c = jnp.minimum(
+            f_c, me * jnp.maximum(RESTITUTION_VCAP - pos_dot, 0.0) / h)
     c = me * d_r * jnp.asarray(b_ref, dtype) * active
     return f_c, c
 
@@ -300,7 +308,7 @@ def _passive_forces(model: PhysicsModel, qpos, qvel):
 
 
 def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
-                             r_form: bool = False):
+                             r_form: bool = False, h: float = 0.0):
     """Joint-limit and tendon-limit constraint penalties with a0
     compensation (r_form=True: inverse-mode R-scaling, see _limit_force).
     Returns (tau (nv,), G (nv, nv) implicit damping)."""
@@ -326,7 +334,7 @@ def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
         f_c, c_l = _limit_force(viol, s * v, s * a0,
                                 model.hs_limit_solref,
                                 model.hs_limit_solimp, model.hs_limit_meff,
-                                lim, dtype, r_form=r_form)
+                                lim, dtype, r_form=r_form, h=h)
         tau = tau.at[dadr].add(s * f_c)
         g_diag = g_diag.at[dadr].add(c_l)
 
@@ -350,7 +358,7 @@ def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
                                 model.tendon_limit_solref,
                                 model.tendon_limit_solimp,
                                 model.tendon_limit_meff, lim, dtype,
-                                r_form=r_form)
+                                r_form=r_form, h=h)
         tau = tau + coef.T @ (s * f_c)
         G_extra = jnp.einsum("t,tn,tm->nm", c_t, coef, coef)
     G = jnp.diag(g_diag)
@@ -511,12 +519,22 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     damping term), exactly as MuJoCo's Euler pipeline does — the QP already
     bounds them, so no extra stabilization is needed. Returns tau (nv,).
     """
-    from .contact import collect_contact_rows, impedance, solref_kb
+    from .contact import (RESTITUTION_VCAP, collect_contact_rows, impedance,
+                          solref_kb)
     import numpy as np
 
     dtype = state.qpos.dtype
     nv = model.nv
     qpos, qvel = state.qpos, state.qvel
+    h = float(model.timestep)
+
+    def _cap(aref, v_row):
+        # restitution cap (contact.RESTITUTION_VCAP): the QP drives the row
+        # acceleration toward aref, so post-step row velocity ~ v + h*aref;
+        # bound aref so a stored deep penetration cannot catapult the row
+        # past the cap separation velocity. Inactive on all normal-operation
+        # rows (their aref is far below (VCAP - v)/h).
+        return jnp.minimum(aref, (RESTITUTION_VCAP - v_row) / h)
 
     Js, arefs, imps, actives = [], [], [], []
     slots = []  # static per-row color for the 4-color projected GS (below)
@@ -537,7 +555,8 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         nf = np.nonzero(mu_pl == 0)[0]
         if nf.size:
             Js.append(rows["JpN"][nf])
-            arefs.append(base[nf] - br[nf] * rows["vn"][nf])
+            arefs.append(_cap(base[nf] - br[nf] * rows["vn"][nf],
+                              rows["vn"][nf]))
             imps.append(rows["d_r"][nf])
             actives.append(rows["active"][nf])
             slots.append(np.zeros(nf.size, np.int32))
@@ -553,7 +572,8 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
                     * Jt[:, :, None, :])
             vel = (rows["vn"][fr][:, None, None]
                    + mu_f * sgn[None, None, :] * vt[:, :, None])   # (F,2,2)
-            aref_p = base[fr][:, None, None] - br[fr][:, None, None] * vel
+            aref_p = _cap(base[fr][:, None, None]
+                          - br[fr][:, None, None] * vel, vel)
             F = fr.size
             Js.append(Jpyr.reshape(F * 4, nv))
             arefs.append(aref_p.reshape(F * 4))
@@ -580,8 +600,8 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         J_l = s[:, None] * jnp.asarray(E, dtype)
         active_l = (viol > 0).astype(dtype) * lim
         Js.append(J_l)
-        arefs.append(d_l * jnp.asarray(k_base, dtype) * viol
-                     - jnp.asarray(b_ref, dtype) * (s * v))
+        arefs.append(_cap(d_l * jnp.asarray(k_base, dtype) * viol
+                          - jnp.asarray(b_ref, dtype) * (s * v), s * v))
         imps.append(d_l)
         actives.append(active_l)
         slots.append(np.zeros(len(model.hs_dofadr), np.int32))
@@ -605,8 +625,8 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         J_t = s[:, None] * coef
         active_t = (viol > 0).astype(dtype) * lim
         Js.append(J_t)
-        arefs.append(d_t * jnp.asarray(k_base, dtype) * viol
-                     - jnp.asarray(b_ref, dtype) * (s * Ldot))
+        arefs.append(_cap(d_t * jnp.asarray(k_base, dtype) * viol
+                          - jnp.asarray(b_ref, dtype) * (s * Ldot), s * Ldot))
         imps.append(d_t)
         actives.append(active_t)
         slots.append(np.zeros(model.tendon_coef.shape[0], np.int32))
@@ -655,7 +675,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
 
 @_full_f32_matmuls
 def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
-         solver: str = "coupled") -> PhysicsState:
+         solver: str = "coupled", n_iter: int = 25) -> PhysicsState:
     """One physics step (mujoco mj_step analog): forward dynamics + Euler.
 
     solver="coupled" (default, environment / data-collection tier):
@@ -696,11 +716,12 @@ def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
         Lp = jax.scipy.linalg.cho_factor(M)
         qacc0 = jax.scipy.linalg.cho_solve(Lp, f)
         # phase 2: coupled constraint QP at (state, qacc0); forces explicit
-        f = f + _coupled_constraint_terms(model, state, S, Lp, qacc0)
+        f = f + _coupled_constraint_terms(model, state, S, Lp, qacc0,
+                                          n_iter=n_iter)
     elif solver == "penalty":
         if has_limits:
             tau_l, G_l = _limit_constraint_forces(
-                model, qpos, qvel, jnp.zeros(model.nv, dtype))
+                model, qpos, qvel, jnp.zeros(model.nv, dtype), h=h)
             f = f + tau_l
             Mh = Mh + h * G_l
         if model.contact_pairs:
