@@ -46,7 +46,8 @@ WEIGHTS_WALK = dict(w_orient=15.0, w_goal_xy=2.5, w_height=20.0,
 
 def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
                w_orient=5.0, w_goal_xy=12.5, w_height=5.0, w_swing_x=8.0,
-               w_swing_vel=0.15, w_knee_x=3.0, w_clearance=2.0, **_unused):
+               w_swing_vel=0.15, w_knee_x=3.0, w_clearance=2.0,
+               w_foot_lift=0.0, **_unused):
     id_shin_l = model.body_id("shin_left")
     id_shin_r = model.body_id("shin_right")
     id_foot_l = model.body_id("foot_left")
@@ -95,6 +96,12 @@ def make_costs(model, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
 
         leg_clearance = state.xpos[id_foot_l][1] - state.xpos[id_foot_r][1]
         cost += jnp.where(leg_clearance < 0.0, 0.5 * leg_clearance**2, 0.0)
+
+        # NEW (no reference analog, default weight 0): penalize foot lift
+        # above a walking band — without it large-K MPPI kicks ~1 m high
+        lift_l = jnp.maximum(state.xpos[id_foot_l][2] - 0.25, 0.0)
+        lift_r = jnp.maximum(state.xpos[id_foot_r][2] - 0.25, 0.0)
+        cost += w_foot_lift * (lift_l**2 + lift_r**2)
 
         cost += 0.01 * jnp.sum(u**2)
         return cost

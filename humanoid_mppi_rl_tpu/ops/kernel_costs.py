@@ -80,13 +80,15 @@ PARAM_SLOTS = {
     12: "d_log_temperature (solver: lambda *= exp(p12))",
     13: "d_swing_x_w     (+8.0 swing-foot x-target)",
     14: "d_knee_x_w      (+3.0 swing-knee x-target)",
+    15: "d_foot_lift_w   (+0.0 foot-lift-above-0.25m penalty)",
 }
 
 
 def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0),
              param_target: bool = False, param_gait: bool = False,
              w_orient=5.0, w_goal_xy=12.5, w_height=5.0, w_swing_x=8.0,
-             w_swing_vel=0.15, w_knee_x=3.0, w_clearance=2.0):
+             w_swing_vel=0.15, w_knee_x=3.0, w_clearance=2.0,
+             w_foot_lift=0.0):
     """reference src/Humanoid_datacollection_v2.jl:90-160 (see costs/humanoid.py).
 
     param_target=True reads the goal from ctx.params[0:3] at runtime (no
@@ -118,11 +120,13 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
             orient_w = w_orient + p[10]
             swing_x_w = w_swing_x + p[13]
             knee_x_w = w_knee_x + p[14]
+            foot_lift_w = w_foot_lift + p[15]
         else:
             tvx_e, foot_off, swing_vel_w = tvx, 0.5, w_swing_vel
             height_w, goal_xy_w = w_height, w_goal_xy
             clearance_w, orient_w = w_clearance, w_orient
             swing_x_w, knee_x_w = w_swing_x, w_knee_x
+            foot_lift_w = w_foot_lift
         q = ctx.qpos
         rx, ry, rz = q[0], q[1], q[2]
         roll, pitch, yaw = _rpy((q[3], q[4], q[5], q[6]))
@@ -159,6 +163,10 @@ def humanoid(model: PhysicsModel, target=(2.0, 0.0, 1.28), target_vel=(0.3, 0.0)
         cost = cost + jnp.where(clearance < 0.05, clearance_w * clearance**2, 0.0)
         leg_cl = fl[1] - fr[1]
         cost = cost + jnp.where(leg_cl < 0.0, 0.5 * leg_cl**2, 0.0)
+        # foot-lift-above-band penalty (costs/humanoid.py, default weight 0)
+        liftl = jnp.maximum(fl[2] - 0.25, 0.0)
+        liftr = jnp.maximum(fr[2] - 0.25, 0.0)
+        cost = cost + foot_lift_w * (liftl * liftl + liftr * liftr)
         cost = cost + 0.01 * _sumsq(u)
         return cost
 

@@ -37,6 +37,7 @@ SLOT_FLAGS = {
     "d_log_temperature": 12,
     "d_swing_x_w": 13,
     "d_knee_x_w": 14,
+    "d_foot_lift_w": 15,
 }
 
 

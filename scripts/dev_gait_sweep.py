@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--horizon", type=int, default=64)
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--seeds", type=int, nargs="*", default=None,
+                    help="run every setting over these seeds (one compile "
+                         "for the whole settings x seeds grid)")
     ap.add_argument("--goal", type=float, nargs=3, default=[10.0, 0.0, 1.28])
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--only", nargs="*", default=None)
@@ -75,25 +78,28 @@ def main():
     if unknown:
         ap.error(f"unknown --only setting(s) {unknown}; "
                  f"valid: {sorted(SWEEP)}")
+    seeds = args.seeds if args.seeds else [args.seed]
     for name in names:
         deltas = SWEEP[name]
         params = np.zeros(16, np.float32)
         params[0:3] = args.goal
         for flag, v in deltas.items():
             params[SLOT_FLAGS[flag]] = v
-        res = runner.run(max_steps=args.steps, seed=args.seed,
-                         state_row_fn=row_fn, fall_fn=fall_fn,
-                         params=params, chunk=args.chunk)
-        rows = np.asarray(res.logger.states)
-        times = np.asarray(res.logger.times)
-        if args.save_dir:
-            os.makedirs(args.save_dir, exist_ok=True)
-            np.savez(os.path.join(args.save_dir, f"{name}.npz"),
-                     states=rows, actions=np.asarray(res.logger.actions),
-                     times=times)
-        out = {"setting": name, "fell": bool(res.fell), "deltas": deltas}
-        out.update(gait_metrics(rows, times, model.nq))
-        print(json.dumps(out), flush=True)
+        for seed in seeds:
+            res = runner.run(max_steps=args.steps, seed=seed,
+                             state_row_fn=row_fn, fall_fn=fall_fn,
+                             params=params, chunk=args.chunk)
+            rows = np.asarray(res.logger.states)
+            times = np.asarray(res.logger.times)
+            if args.save_dir:
+                os.makedirs(args.save_dir, exist_ok=True)
+                np.savez(os.path.join(args.save_dir, f"{name}_s{seed}.npz"),
+                         states=rows, actions=np.asarray(res.logger.actions),
+                         times=times)
+            out = {"setting": name, "seed": seed, "fell": bool(res.fell),
+                   "deltas": deltas}
+            out.update(gait_metrics(rows, times, model.nq))
+            print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

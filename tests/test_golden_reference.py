@@ -37,15 +37,18 @@ def test_reference_layout(ref_traj):
     assert actions.shape[1] == 21
 
 
-def test_one_step_prediction_vs_reference_log(ref_traj):
-    """Our engine's one-step predictions on logged reference pairs track the
-    MuJoCo C engine's own predictions (same pairs, same horizon).
+def test_one_step_prediction_vs_reference_log_full_set(ref_traj):
+    """Our engine's one-step predictions over the FULL 1,412-frame golden
+    trajectory (one vmapped call per tier, not a python loop).
 
-    Coupled tier (environment plant: pyramidal-cone constraint QP +
-    body-body contacts): median one-step qpos error ~4e-4 over the FULL
-    1400-frame trajectory (scripts/dev_contact_fidelity.py); asserted here
-    at 2e-3 on a subsample. Penalty tier (planner): decoupled impedance
-    penalties, asserted at the documented looser ladder."""
+    MuJoCo C replays the whole chain at 4.6e-14 max (verified below), so
+    every frame is a true golden pair. Measured error ladder (see PARITY.md
+    "fidelity tiers"): constraint-free frames are machine-precision
+    (5e-13); the tail comes from constrained frames — median 8.7e-4, p90
+    1.0e-2, max 5.1e-2 (worst frames are violent limit-hit/deep
+    self-collision states; the error is iteration-independent at 25 vs 100
+    PGS sweeps, i.e. model mismatch, not solver convergence). Penalty tier
+    (planner): decoupled impedance ladder, median < 0.05."""
     from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward, step
 
     mujoco = pytest.importorskip("mujoco")
@@ -57,37 +60,38 @@ def test_one_step_prediction_vs_reference_log(ref_traj):
     m = mujoco.MjModel.from_xml_path(asset)
     d = mujoco.MjData(m)
 
+    N = states.shape[0] - 1
     # the reference logs one row per CONTROL step but steps the plant once
-    # per control step too (src/Humanoid_datacollection_v2.jl:258-260), so
-    # consecutive rows are one physics step apart; MuJoCo C replays them to
-    # machine precision (~1e-16), i.e. this is a true golden dataset.
-    idxs = np.arange(40, 400, 8)
-    step_c = jax.jit(lambda qp, qv, u: step(
-        pm, forward(pm, qp, qv), u).qpos)
-    step_p = jax.jit(lambda qp, qv, u: step(
-        pm_planner, forward(pm_planner, qp, qv), u, solver="penalty").qpos)
-    err_c, err_p, nefc = [], [], []
-    for i in idxs:
-        qpos, qvel = states[i, :28], states[i, 28:55]
-        u = actions[i]
-        qp_c = np.asarray(step_c(jnp.asarray(qpos), jnp.asarray(qvel),
-                                 jnp.asarray(u)))
-        qp_p = np.asarray(step_p(jnp.asarray(qpos), jnp.asarray(qvel),
-                                 jnp.asarray(u)))
-        d.qpos[:] = qpos
-        d.qvel[:] = qvel
-        d.ctrl[:] = u
+    # per control step too (src/Humanoid_datacollection_v2.jl:258-260):
+    # verify the golden chain + collect per-frame constraint counts
+    nefc = np.zeros(N, int)
+    mj_replay = np.zeros(N)
+    for i in range(N):
+        d.qpos[:] = states[i, :28]
+        d.qvel[:] = states[i, 28:55]
+        d.ctrl[:] = actions[i]
+        mujoco.mj_forward(m, d)
+        nefc[i] = d.nefc
         mujoco.mj_step(m, d)
-        np.testing.assert_allclose(d.qpos, states[i + 1, :28], atol=1e-10)
-        err_c.append(np.abs(qp_c - states[i + 1, :28]).max())
-        err_p.append(np.abs(qp_p - states[i + 1, :28]).max())
-        nefc.append(d.nefc)
-    err_c, err_p = np.asarray(err_c), np.asarray(err_p)
-    nefc = np.asarray(nefc)
-    # constraint-free frames: our smooth dynamics are exact
-    if (nefc == 0).any():
-        assert np.median(err_c[nefc == 0]) < 1e-9
-    # environment tier: MuJoCo-QP analog
+        mj_replay[i] = np.abs(d.qpos - states[i + 1, :28]).max()
+    assert mj_replay.max() < 1e-10, "golden chain broken"
+
+    qp = jnp.asarray(states[:N, :28])
+    qv = jnp.asarray(states[:N, 28:55])
+    u = jnp.asarray(actions[:N])
+    tgt = states[1:N + 1, :28]
+
+    step_c = jax.jit(jax.vmap(lambda a, b, c: step(
+        pm, forward(pm, a, b), c).qpos))
+    err_c = np.abs(np.asarray(step_c(qp, qv, u)) - tgt).max(axis=1)
+    free = nefc == 0
+    if free.any():
+        assert err_c[free].max() < 1e-9, err_c[free].max()
     assert np.median(err_c) < 2e-3, np.median(err_c)
-    # planner tier: decoupled penalty ladder
+    assert np.quantile(err_c, 0.9) < 1.5e-2, np.quantile(err_c, 0.9)
+    assert err_c.max() < 0.08, err_c.max()
+
+    step_p = jax.jit(jax.vmap(lambda a, b, c: step(
+        pm_planner, forward(pm_planner, a, b), c, solver="penalty").qpos))
+    err_p = np.abs(np.asarray(step_p(qp, qv, u)) - tgt).max(axis=1)
     assert np.median(err_p) < 0.05, np.median(err_p)
