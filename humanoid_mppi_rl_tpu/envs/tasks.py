@@ -87,18 +87,22 @@ TASKS = {
         # advancing goal (collect.runner.collect_humanoid_jl)
         _mk("humanoid_collect_jl", "humanoid.xml", humanoid_cost.make_costs,
             K=75, T=100, lam=1.0, sigma=0.5, kernel_cost="humanoid"),
-        # NEW (no reference analog): tuned walking gait found by a runtime
-        # PARAM_SLOTS sweep on TPU (scripts/dev_gait_sweep.py) — the v3
-        # functional form with costs/humanoid.WEIGHTS_WALK baked in and the
-        # sampling noise narrowed to sigma = 0.5*exp(-0.35) (the winning
-        # "goal_low" sweep setting; sigma=0.5 falls within 1.5 s). At
-        # K=8192, H=64 it walks 6 s at ~0.47 m/s with a ~1.2 s stride
-        # instead of lunging and diving (PARITY.md gap 3)
+        # NEW (no reference analog): tuned walking gait found by runtime
+        # PARAM_SLOTS sweeps on TPU (scripts/dev_gait_sweep.py) — the v3
+        # functional form, WEIGHTS_WALK posture base, sampling noise
+        # sigma = 0.5*exp(-0.35), plus the round-2 "combo_slowgoal" deltas:
+        # height 22, orient 17, goal_xy 1.0 (reduced pull stops overspeed
+        # trip-falls at ~0.65 m/s), clearance 1.0, foot-lift 10 (kills ~1 m
+        # kick-steps). With the restitution cap closing the contact-catapult
+        # exploit, 6/6 seeds walk the full 3 s run at 0.30-0.39 m/s with
+        # max foot lift 0.18-0.33 m at K=8192, H=64 (PARITY.md gap 3)
         _mk("humanoid_walk", "humanoid.xml", humanoid_cost.make_costs,
             K=8192, T=64, lam=1.0, sigma=0.5 * float(np.exp(-0.35)),
             kernel_cost="humanoid",
             cost_kwargs=dict(humanoid_cost.WEIGHTS_WALK,
-                             target=(10.0, 0.0, 1.28))),
+                             target=(10.0, 0.0, 1.28),
+                             w_height=22.0, w_orient=17.0, w_goal_xy=1.0,
+                             w_clearance=1.0, w_foot_lift=10.0)),
         # reference src/Humanoid_datacollection_v2.py:37-40 — FD-velocity
         # cost, hysteresis gait phase, double replan per control step
         _mk("humanoid_collect_v2py", "humanoid.xml",
