@@ -66,6 +66,19 @@ def cmd_run(args):
 
     from .collect.runner import EpisodeRunner
 
+    if args.live:
+        # interactive viewer mirror (reference viewer-loop parity;
+        # viz/live.py) — raises a clear error on headless hosts
+        from .viz.live import live_run
+
+        res = live_run(args.task, n_steps=args.steps, seed=args.seed,
+                       use_kernel=args.kernel,
+                       mppi_override=_mppi_override(args))
+        res.logger.save_run_dir(args.out)
+        print(json.dumps({"task": args.task, "steps": res.steps,
+                          "live": True, "out": args.out}))
+        return 0
+
     runner = EpisodeRunner(args.task, use_kernel=args.kernel,
                            mppi_override=_mppi_override(args))
     res = runner.run(max_steps=args.steps, seed=args.seed,
@@ -289,6 +302,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--kernel", action="store_true",
                    help="plan through the fused Pallas rollout kernel")
+    p.add_argument("--live", action="store_true",
+                   help="mirror each executed step into an interactive "
+                        "MuJoCo viewer (needs a display)")
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     _add_kt(p)
     _add_common(p)

@@ -159,6 +159,7 @@ class EpisodeRunner:
         plant_update_fn: Optional[Callable] = None,
         params_update_fn: Optional[Callable] = None,
         metrics_path: Optional[str] = None,
+        per_chunk_callback: Optional[Callable] = None,
     ) -> EpisodeResult:
         """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos, params)->bool
         jnp — all evaluated on device (scanned in chunks). `params` is a
@@ -166,7 +167,10 @@ class EpisodeRunner:
         episode-varying quantities (goals, gait deltas, solver scales) so
         repeated runs reuse the compiled chunk. `metrics_path` appends a
         JSONL event per chunk (replan latency, control steps/s — the
-        observability the reference lacks, SURVEY.md §5)."""
+        observability the reference lacks, SURVEY.md §5).
+        `per_chunk_callback(plant)` runs host-side after every chunk — with
+        chunk=1 this is a per-step hook (the live viewer mirror,
+        viz/live.py)."""
         import time as _time
 
         from ..utils.metrics import JSONLWriter
@@ -215,6 +219,8 @@ class EpisodeRunner:
             for i in range(stop):
                 log.log(rows[i], actions[i], float(times[i]))
             steps += stop
+            if per_chunk_callback is not None:
+                per_chunk_callback(plant)
             if goal or fell:
                 break
         met.write(kind="episode", task=self.spec.name, steps=steps,

@@ -58,17 +58,20 @@ def make_fast_feature_attention(module, params: Any,
     for i in range(module.attn_layers):
         blk = p[f"_TransformerBlock_{i}"]
         mha = blk["MultiHeadDotProductAttention_0"]
-        # (H, nh, hd) x3 -> one (H, 3H) fused projection
-        wqkv = jnp.concatenate(
-            [cast(mha[k]["kernel"]).reshape(H, H)
-             for k in ("query", "key", "value")], axis=1)      # (H, 3H)
-        bqkv = jnp.concatenate(
-            [cast(mha[k]["bias"]).reshape(H)
-             for k in ("query", "key", "value")])               # (3H,)
+        # NOTE: a fused (H, 3H) QKV projection was tried and MEASURED WORSE
+        # (6.2 s vs 4.6 s at K=16384 and an HBM OOM at K=65536): it
+        # materializes a (K, F, 3H) intermediate that XLA keeps live,
+        # tripling the layer's activation footprint. Separate projections
+        # let each q/k/v buffer die after its attention use.
         layers.append(dict(
             ln1_s=cast(blk["LayerNorm_0"]["scale"]),
             ln1_b=cast(blk["LayerNorm_0"]["bias"]),
-            wqkv=wqkv, bqkv=bqkv,
+            wq=cast(mha["query"]["kernel"]).reshape(H, H),
+            bq=cast(mha["query"]["bias"]).reshape(H),
+            wk=cast(mha["key"]["kernel"]).reshape(H, H),
+            bk=cast(mha["key"]["bias"]).reshape(H),
+            wv=cast(mha["value"]["kernel"]).reshape(H, H),
+            bv=cast(mha["value"]["bias"]).reshape(H),
             wo=cast(mha["out"]["kernel"]).reshape(H, H),
             bo=cast(mha["out"]["bias"]),
             ln2_s=cast(blk["LayerNorm_1"]["scale"]),
@@ -94,10 +97,10 @@ def make_fast_feature_attention(module, params: Any,
         h = jax.nn.relu(h) + pos
         for L in layers:
             y = layer_norm(h, L["ln1_s"], L["ln1_b"])
-            qkv = y @ L["wqkv"] + L["bqkv"]                   # (..., F, 3H)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
             split = lambda a: a.reshape(*a.shape[:-1], nh, hd)
-            q, k, v = split(q), split(k), split(v)
+            q = split(y @ L["wq"] + L["bq"])
+            k = split(y @ L["wk"] + L["bk"])
+            v = split(y @ L["wv"] + L["bv"])
             # scores in f32 (softmax stability), matmuls in cd
             s = jnp.einsum("...qhd,...khd->...hqk", q, k) * inv_sqrt_hd
             w = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(cd)

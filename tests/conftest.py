@@ -19,7 +19,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# persistent compilation cache: repeat suite runs skip recompiles
-from humanoid_mppi_rl_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache()
+# NO persistent compilation cache in tests: XLA:CPU AOT cache entries can
+# load with mismatched machine-feature sets (cpu_aot_loader warnings) and
+# produce instruction mixes with different float rounding — enough to flip
+# the 1e-9 matched-noise parity assertions. CPU test compiles are
+# tracing-dominated anyway (~15% cache win measured). The cache stays on
+# for the TPU entry points (bench/CLI/graft).
+os.environ["HUMANOID_MPPI_NO_CACHE"] = "1"

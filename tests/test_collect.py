@@ -292,3 +292,17 @@ def test_collect_humanoid_jl_smoke(tmp_path):
     assert len(run_dirs) == 1
     states = np.loadtxt(os.path.join(run_dirs[0], "states.csv"), delimiter=",")
     assert states.shape == (6, 55)
+
+
+def test_per_chunk_callback_hook():
+    """The live-viewer mirror hook (viz/live.py) fires once per chunk with
+    the current on-device plant."""
+    from humanoid_mppi_rl_tpu.collect.runner import EpisodeRunner
+
+    calls = []
+    r = EpisodeRunner("cartpole", mppi_override=TINY)
+    r.run(max_steps=4, chunk=2,
+          per_chunk_callback=lambda plant: calls.append(
+              float(np.asarray(plant.qpos)[0])))
+    assert len(calls) == 2
+    assert all(np.isfinite(c) for c in calls)
