@@ -495,6 +495,11 @@ def _integrate_qpos(model: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
     return out
 
 
+# when set to a dict (and the call is NOT jitted), _coupled_constraint_terms
+# stashes its QP rows/solution for offline fidelity triage
+_COUPLED_DEBUG = None
+
+
 def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
                               S, L0, qacc0, n_iter: int = 25):
     """Coupled constraint solve: contact pyramid rows + joint/tendon limits.
@@ -532,9 +537,16 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         # restitution cap (contact.RESTITUTION_VCAP): the QP drives the row
         # acceleration toward aref, so post-step row velocity ~ v + h*aref;
         # bound aref so a stored deep penetration cannot catapult the row
-        # past the cap separation velocity. Inactive on all normal-operation
-        # rows (their aref is far below (VCAP - v)/h).
-        return jnp.minimum(aref, (RESTITUTION_VCAP - v_row) / h)
+        # past the cap separation velocity. The bound is floored at 0: a row
+        # already separating faster than the cap from its own smooth
+        # dynamics must keep its RAW (negative, braking) aref — clamping it
+        # to (VCAP - v)/h there would demand violent deceleration the f>=0
+        # solver converts into a wrong force (golden frame 574: the knee
+        # limit row exits at 13.9 rad/s with aref=-1230 and a legitimate
+        # braking force of +106; the unfloored cap distorted it to +24,
+        # a 3.2e-2 one-step qpos error).
+        return jnp.minimum(aref, jnp.maximum(
+            (RESTITUTION_VCAP - v_row) / h, 0.0))
 
     Js, arefs, imps, actives = [], [], [], []
     slots = []  # static per-row color for the 4-color projected GS (below)
@@ -643,7 +655,6 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     Amat = J @ W                                       # (C, C)
     Adiag = jnp.maximum(jnp.diag(Amat), 1e-10)
     R = (1.0 - d_all) / d_all * Adiag
-    D = Adiag + R
     rhs = aref - J @ qacc0
 
     C = J.shape[0]
@@ -659,7 +670,21 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     # contact) while all rows of one slot update in parallel (Jacobi across
     # contacts). Each sweep is 4 dense (C,C) matvecs — vector-unit work
     # instead of scan latency: ~0.5 ms/step, same fixed n_iter sweeps.
-    slot = jnp.asarray(np.concatenate(slots))
+    #
+    # Parallel-update stability: "different contacts couple only weakly"
+    # fails for CLUSTERED self-collision contacts (golden frame 1380: three
+    # hand/arm/torso contacts with off-diagonal A at 0.93 of the diagonal
+    # — plain Jacobi overshoots ~3x and limit-cycles, leaving the cluster's
+    # forces at 0). Divide each row's update by its SAME-SLOT active
+    # row-sum of |A| instead of the bare diagonal: automatic
+    # under-relaxation exactly where same-slot coupling is strong,
+    # asymptotically the plain diagonal where it is weak.
+    slot_np = np.concatenate(slots)
+    slot = jnp.asarray(slot_np)
+    same_slot = jnp.asarray(slot_np[:, None] == slot_np[None, :], dtype)
+    D = jnp.maximum(
+        jnp.sum(jnp.abs(Amat) * same_slot * active[None, :], axis=1),
+        Adiag) + R
 
     def sweep(f, _):
         for s in range(4):
@@ -670,6 +695,10 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
 
     f0 = jnp.zeros(C, dtype)
     f, _ = jax.lax.scan(sweep, f0, None, length=n_iter)
+    if _COUPLED_DEBUG is not None:  # debug stash (fidelity triage only)
+        _COUPLED_DEBUG.update(J=J, aref=aref, rhs=rhs, Adiag=Adiag, R=R,
+                              f=f, active=active, d=d_all, Amat=Amat,
+                              slot=slot)
     return J.T @ f
 
 
