@@ -183,6 +183,7 @@ def _self_pair_static(model: PhysicsModel):
         pos2=pos2, quat2=quat2, r2=r2, h2=h2, iscap2=iscap2,
         mu=np.array([p.mu if p.condim > 1 else 0.0 for p in prs]),
         meff=np.array([p.m_eff for p in prs]),
+        invw=np.array([p.invw0 for p in prs]),
         solref=solref, solimp=solimp, capcap=iscap1 & iscap2,
     )
 
@@ -294,13 +295,15 @@ def _self_rows(model: PhysicsModel, state, S: jax.Array, dtype, topk: int):
     kb = jnp.asarray(kb_all, dtype)[sel]
     br = jnp.asarray(br_all, dtype)[sel]
     meff = jnp.asarray(sp_["meff"], dtype)[sel]
+    invw = jnp.asarray(sp_["invw"], dtype)[sel]
     mu = jnp.asarray(sp_["mu"], dtype)[sel]
     c_n = meff * d_r * br
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1) + _VT_EPS * _VT_EPS)
 
     return dict(pen=pen, active=active, n=n_k, vn=vn, vt=vt, vt1=vt1,
                 vt2=vt2, vt_norm=vt_norm, Jp=Jp, JpN=JpN, Jt1=Jt1, Jt2=Jt2,
-                d_r=d_r, c_n=c_n, mu=mu, k_base=kb, b_ref=br, meff=meff)
+                d_r=d_r, c_n=c_n, mu=mu, k_base=kb, b_ref=br, meff=meff,
+                invw=invw)
 
 
 def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
@@ -321,6 +324,7 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
     solrefs: List = []
     solimps: List = []
     meffs: List[float] = []
+    invws: List[float] = []
 
     tangents: List[jax.Array] = []
 
@@ -360,6 +364,7 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
             solrefs.append(pair.solref)
             solimps.append(pair.solimp)
             meffs.append(pair.m_eff)
+            invws.append(pair.invw0)
 
         if g2.gtype == GEOM_SPHERE:
             r = size[0]
@@ -435,7 +440,8 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
                      Jt2=Jt2, d_r=d_r, c_n=c_n,
                      mu=jnp.asarray(np.asarray(mus), dtype),
                      k_base=jnp.asarray(k_base, dtype),
-                     b_ref=jnp.asarray(b_ref, dtype), meff=meff)
+                     b_ref=jnp.asarray(b_ref, dtype), meff=meff,
+                     invw=jnp.asarray(np.asarray(invws), dtype))
 
     # merge plane + self blocks; plane rows first so their static metadata
     # (mu_plane_static: the frictionless/friction split indices used by the

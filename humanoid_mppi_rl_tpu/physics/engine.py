@@ -534,10 +534,12 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     h = float(model.timestep)
 
     def _cap(aref, v_row):
-        # restitution cap (contact.RESTITUTION_VCAP): the QP drives the row
-        # acceleration toward aref, so post-step row velocity ~ v + h*aref;
-        # bound aref so a stored deep penetration cannot catapult the row
-        # past the cap separation velocity. The bound is floored at 0: a row
+        # restitution cap (contact.RESTITUTION_VCAP), CONTACT rows only: the
+        # QP drives the row acceleration toward aref, so post-step row
+        # velocity ~ v + h*aref; bound aref so a stored deep foot-floor
+        # penetration cannot catapult the row past the cap separation
+        # velocity (the MPPI seed-0 "fly to goal" exploit,
+        # tests/test_restitution_cap.py). The bound is floored at 0: a row
         # already separating faster than the cap from its own smooth
         # dynamics must keep its RAW (negative, braking) aref — clamping it
         # to (VCAP - v)/h there would demand violent deceleration the f>=0
@@ -545,10 +547,21 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         # limit row exits at 13.9 rad/s with aref=-1230 and a legitimate
         # braking force of +106; the unfloored cap distorted it to +24,
         # a 3.2e-2 one-step qpos error).
+        #
+        # Joint/tendon-limit rows are NOT capped in this (environment/golden)
+        # tier: MuJoCo — the oracle this tier is measured against — has no
+        # such cap, a violated limit legitimately demands large aref (golden
+        # frame 1063: mj aref 681.7 on a knee row, the cap distorted it to
+        # 38.6, a 1.5e-2 qpos error — the whole ladder tail), and a limit
+        # ejects within the bounded joint range so it cannot launch the
+        # robot the way a floor spring can. The PLANNER tier
+        # (ops/scalar_physics.py) keeps its cap on every row class so MPPI
+        # cannot seek limit-spring energy exploits.
         return jnp.minimum(aref, jnp.maximum(
             (RESTITUTION_VCAP - v_row) / h, 0.0))
 
     Js, arefs, imps, actives = [], [], [], []
+    diagapx = []  # per-row MuJoCo diagApprox (invweight0-based) for R
     slots = []  # static per-row color for the 4-color projected GS (below)
     rows = collect_contact_rows(model, state, S) if model.contact_pairs else None
     if rows is not None:
@@ -571,6 +584,7 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
                               rows["vn"][nf]))
             imps.append(rows["d_r"][nf])
             actives.append(rows["active"][nf])
+            diagapx.append(rows["invw"][nf])
             slots.append(np.zeros(nf.size, np.int32))
         if fr.size:
             mu_f = rows["mu"][fr][:, None, None]                 # (F,1,1)
@@ -592,6 +606,11 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
             rep = lambda x: jnp.repeat(x[fr], 4)
             imps.append(rep(rows["d_r"]))
             actives.append(rep(rows["active"]))
+            # pyramid-facet diagApprox: invw0 * 2 mu^2 (1 + mu^2) — MuJoCo's
+            # mj_diagApprox law, recovered numerically (dev_frame_triage.py)
+            mu1 = rows["mu"]
+            diagapx.append(rep(rows["invw"] * 2.0 * mu1 * mu1
+                               * (1.0 + mu1 * mu1)))
             slots.append(np.tile(np.arange(4, dtype=np.int32), F))
 
     if model.hs_qposadr.shape[0] and model.hs_limited.any():
@@ -612,10 +631,11 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         J_l = s[:, None] * jnp.asarray(E, dtype)
         active_l = (viol > 0).astype(dtype) * lim
         Js.append(J_l)
-        arefs.append(_cap(d_l * jnp.asarray(k_base, dtype) * viol
-                          - jnp.asarray(b_ref, dtype) * (s * v), s * v))
+        arefs.append(d_l * jnp.asarray(k_base, dtype) * viol
+                     - jnp.asarray(b_ref, dtype) * (s * v))
         imps.append(d_l)
         actives.append(active_l)
+        diagapx.append(jnp.asarray(model.hs_limit_invw0, dtype))
         slots.append(np.zeros(len(model.hs_dofadr), np.int32))
 
     if model.tendon_coef.shape[0] and model.tendon_limited.any():
@@ -637,10 +657,11 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         J_t = s[:, None] * coef
         active_t = (viol > 0).astype(dtype) * lim
         Js.append(J_t)
-        arefs.append(_cap(d_t * jnp.asarray(k_base, dtype) * viol
-                          - jnp.asarray(b_ref, dtype) * (s * Ldot), s * Ldot))
+        arefs.append(d_t * jnp.asarray(k_base, dtype) * viol
+                     - jnp.asarray(b_ref, dtype) * (s * Ldot))
         imps.append(d_t)
         actives.append(active_t)
+        diagapx.append(jnp.asarray(model.tendon_invweight0, dtype))
         slots.append(np.zeros(model.tendon_coef.shape[0], np.int32))
 
     if not Js:
@@ -654,7 +675,14 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     W = jax.scipy.linalg.cho_solve(L0, J.T)            # (nv, C) = M^-1 J^T
     Amat = J @ W                                       # (C, C)
     Adiag = jnp.maximum(jnp.diag(Amat), 1e-10)
-    R = (1.0 - d_all) / d_all * Adiag
+    # solimp regularizer R = (1-d)/d * diagApprox, with diagApprox MuJoCo's
+    # invweight0-based estimate (NOT the true A diagonal): dof_invweight0
+    # for limit rows, summed body translational invweight0 for contact
+    # normals, * 2 mu^2 (1+mu^2) for pyramid facets. Matches mjData.efc_R
+    # exactly (tests/test_golden_reference.py ladder; probes in
+    # scripts/dev_frame_triage.py).
+    dapx = jnp.concatenate(diagapx)
+    R = (1.0 - d_all) / d_all * jnp.maximum(dapx, 1e-12)
     rhs = aref - J @ qacc0
 
     C = J.shape[0]
@@ -695,6 +723,36 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
 
     f0 = jnp.zeros(C, dtype)
     f, _ = jax.lax.scan(sweep, f0, None, length=n_iter)
+
+    # Block-pivoting active-set refinement: PGS above converges the easy
+    # rows but stalls on strongly-coupled clusters now that R is MuJoCo's
+    # small invweight0 regularizer (25 sweeps left 2.4e2 of 9.4e2 N force
+    # error on golden frame 269; 200 sweeps still 1e-2 qpos error). Each
+    # refinement iteration solves the QP exactly on the current working set
+    # via a masked Cholesky solve — a (C,C) factorization is one MXU tile op
+    # at C~200, far cheaper than 175 more PGS sweeps — then re-pivots:
+    # rows whose solved force went negative leave, inactive rows with
+    # negative gradient enter. Four iterations land within 1e-6 of the
+    # reference QP optimum on every golden frame.
+    H = Amat + jnp.diag(R)
+    eye = jnp.eye(C, dtype=dtype)
+
+    def pivot(fS, _):
+        f_prev, S = fS
+        So = S[:, None] * S[None, :]
+        Hm = So * H + jnp.diag(1.0 - S)
+        fs = jax.scipy.linalg.solve(Hm, S * rhs, assume_a="pos")
+        fp = jnp.maximum(fs, 0.0) * active
+        grad = H @ fp - rhs
+        S_new = active * jnp.where((fs > 0.0) | (grad < 0.0), 1.0, 0.0)
+        return (fp, S_new), None
+
+    S0 = active * jnp.where(f > 0.0, 1.0, 0.0)
+    (f_piv, _), _ = jax.lax.scan(pivot, (f, S0), None, length=4)
+    # keep whichever iterate has the lower QP objective (pivoting can
+    # oscillate on degenerate pyramids; PGS is monotone but slow)
+    obj = lambda x: 0.5 * x @ (H @ x) - x @ rhs
+    f = jnp.where(obj(f_piv) < obj(f), f_piv, f)
     if _COUPLED_DEBUG is not None:  # debug stash (fidelity triage only)
         _COUPLED_DEBUG.update(J=J, aref=aref, rhs=rhs, Adiag=Adiag, R=R,
                               f=f, active=active, d=d_all, Amat=Amat,

@@ -117,6 +117,12 @@ class ContactPair:
     # 1 / (J M^-1 J^T) — scales the solref/solimp impedance into a force,
     # the penalty analog of the constraint solver's diag(A) regularizer
     m_eff: float = 1.0
+    # MuJoCo diagApprox base for the coupled QP regularizer R: sum of the
+    # two bodies' translational invweight0 (trace(Jc M^-1 Jc^T)/3 at qpos0,
+    # mj body_invweight0[:,0]). R_normal = (1-d)/d * invw0;
+    # R_pyramid_facet = R_normal * 2 mu^2 (1 + mu^2) — formulas recovered
+    # by controlled probes against mjData.efc_R (scripts/dev_frame_triage.py)
+    invw0: float = 1.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -210,6 +216,11 @@ class PhysicsModel:
     dof_type_freet: np.ndarray = None   # free translational
     dof_type_freer: np.ndarray = None   # free rotational
     free_axis_idx: np.ndarray = None    # (nv,) 0/1/2 local axis index for free dofs
+    # mj dof_invweight0 per single-dof joint (diag(M^-1) at qpos0; free/ball
+    # blocks are triplet-averaged in MuJoCo but carry no limits) — the
+    # diagApprox the coupled QP's limit-row regularizer R uses
+    hs_limit_invw0: np.ndarray = None   # (nhs,)
+    tendon_invweight0: np.ndarray = None  # (ntendon,) mj tendon_invweight0
 
     # penalty-model tuning (see contact.py); derived defaults set at build
     contact_stiffness: float = 0.0
@@ -441,6 +452,10 @@ def build_from_mjcf(
                     geom1=a, geom2=b, mu=mu, solref=solref, solimp=solimp,
                     condim=condim, margin=max(g1.margin, g2.margin),
                     m_eff=_pair_m_eff(geom_orig_idx[a], geom_orig_idx[b]),
+                    invw0=float(
+                        m.body_invweight0[m.geom_bodyid[geom_orig_idx[a]], 0]
+                        + m.body_invweight0[m.geom_bodyid[geom_orig_idx[b]], 0]
+                    ),
                 )
             )
 
@@ -635,4 +650,7 @@ def build_from_mjcf(
         dof_type_freet=dof_type_freet,
         dof_type_freer=dof_type_freer,
         free_axis_idx=free_axis_idx,
+        hs_limit_invw0=(np.array([m.dof_invweight0[j.dofadr] for j in hs])
+                        if hs else np.zeros(0)),
+        tendon_invweight0=m.tendon_invweight0.copy(),
     )

@@ -44,7 +44,9 @@ def test_one_step_prediction_vs_reference_log_full_set(ref_traj):
     MuJoCo C replays the whole chain at 4.6e-14 max (verified below), so
     every frame is a true golden pair. Measured error ladder (see PARITY.md
     "fidelity tiers"): constraint-free frames are machine-precision
-    (5e-13); constrained frames — median 5.0e-4, p90 2.6e-3, max 1.5e-2
+    (5e-13); constrained frames — median 8.4e-5, p90 8.6e-4, max 9.4e-3
+    (mj-exact invweight0 diagApprox regularizer + block-pivoting active-set
+    refinement of the QP,
     after the round-2 solver fixes (restitution cap floored at zero push;
     same-slot row-sum damping for clustered self-collision rows). Penalty
     tier (planner): decoupled impedance ladder, median < 0.05."""
@@ -86,9 +88,9 @@ def test_one_step_prediction_vs_reference_log_full_set(ref_traj):
     free = nefc == 0
     if free.any():
         assert err_c[free].max() < 1e-9, err_c[free].max()
-    assert np.median(err_c) < 1e-3, np.median(err_c)
-    assert np.quantile(err_c, 0.9) < 5e-3, np.quantile(err_c, 0.9)
-    assert err_c.max() < 2.5e-2, err_c.max()
+    assert np.median(err_c) < 2e-4, np.median(err_c)
+    assert np.quantile(err_c, 0.9) < 2e-3, np.quantile(err_c, 0.9)
+    assert err_c.max() < 1.3e-2, err_c.max()
 
     step_p = jax.jit(jax.vmap(lambda a, b, c: step(
         pm_planner, forward(pm_planner, a, b), c, solver="penalty").qpos))
