@@ -48,13 +48,23 @@ def main():
 
     use_kernel = (os.environ.get("BENCH_KERNEL", "1") == "1"
                   and spec.kernel_cost is not None)
-    if use_kernel:
-        plan = jax.jit(make_kernel_mppi(
-            model, KERNEL_COSTS[spec.kernel_cost], cfg,
-            cost_kwargs=spec.cost_kwargs, block_k=min(1024, K)))
-    else:
-        plan = jax.jit(make_mppi(dynamics, running, cfg, terminal_fn=terminal))
     ms = MPPIState.seeded(0, cfg.T, model.nu)
+
+    # AOT trace cache: the mega-kernel costs ~115-168 s to TRACE on the
+    # 2-core host even with the XLA compile cache warm (BENCH_r02); the
+    # serialized export restores it without tracing (utils/aot_cache.py)
+    from humanoid_mppi_rl_tpu.utils.aot_cache import aot_cached, make_key
+
+    if use_kernel:
+        fn = make_kernel_mppi(
+            model, KERNEL_COSTS[spec.kernel_cost], cfg,
+            cost_kwargs=spec.cost_kwargs, block_k=min(1024, K))
+    else:
+        fn = make_mppi(dynamics, running, cfg, terminal_fn=terminal)
+    key = make_key(entry="bench", task=task, K=K, H=H, kernel=use_kernel,
+                   block_k=min(1024, K), cfg=cfg,
+                   cost_kwargs=spec.cost_kwargs)
+    plan = aot_cached(fn, key, ms, init_state)
 
     t0 = time.perf_counter()
     action, ms, diag = plan(ms, init_state)

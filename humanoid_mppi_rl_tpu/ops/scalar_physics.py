@@ -585,19 +585,26 @@ def scalar_step(
         gp = add3(xpos[b], qrot(xquat[b], gpos_l)) if gpos_l != (0, 0, 0) else xpos[b]
         gq = qmul(xquat[b], gq_l) if gq_l != (1.0, 0.0, 0.0, 0.0) else xquat[b]
 
+        # mid-surface contact position + margin activation, matching the
+        # array tier (physics.contact.collect_contact_rows): the contact
+        # point sits at surface - n*phi/2 (mjContact.pos convention) and a
+        # row activates when phi < margin with pen measured from the margin
+        # surface. margin == 0 for humanoid/hopper (no behavior change).
         pts: List[Tuple[Vec3, object]] = []  # (point, phi)
         if g2.gtype == GEOM_SPHERE:
             r = float(g2.size[0])
             phi = dot3(n_c, gp) - p0_dot_n - r
-            pts.append((sub3(gp, scl3(n_c, r)), phi))
+            pts.append((sub3(gp, scl3(n_c, r + 0.5 * phi)), phi))
         elif g2.gtype == GEOM_CAPSULE:
             r, hl = float(g2.size[0]), float(g2.size[1])
+            if g2.gtype_orig == 5:  # cylinder: inscribed capsule
+                hl = max(hl - r, 0.0)
             Rg = qmat(gq)
             axis = (Rg[0][2], Rg[1][2], Rg[2][2])
             for sgn in (-1.0, 1.0):
                 ce = add3(gp, scl3(axis, sgn * hl))
                 phi = dot3(n_c, ce) - p0_dot_n - r
-                pts.append((sub3(ce, scl3(n_c, r)), phi))
+                pts.append((sub3(ce, scl3(n_c, r + 0.5 * phi)), phi))
         elif g2.gtype == GEOM_BOX:
             sx, sy, sz = [float(x) for x in g2.size]
             Rg = qmat(gq)
@@ -608,7 +615,7 @@ def scalar_step(
                             Rg[i][0] * cx + Rg[i][1] * cy + Rg[i][2] * cz
                             for i in range(3)))
                         phi = dot3(n_c, corner) - p0_dot_n
-                        pts.append((corner, phi))
+                        pts.append((sub3(corner, scl3(n_c, 0.5 * phi)), phi))
         else:  # pragma: no cover
             raise NotImplementedError
 
@@ -618,12 +625,13 @@ def scalar_step(
         meff_c = float(pair.m_eff)
         Vb = V[b]
         wb, v0b = Vb[0:3], Vb[3:6]
+        marg = float(pair.margin)
         for point, phi in pts:
             v_pt = add3(v0b, cross(wb, point))
             vn = dot3(n_c, v_pt)
             vt = sub3(v_pt, scl3(n_c, vn))
-            pen = jnp.maximum(-phi, 0.0)
-            active = (phi < 0.0).astype(pen.dtype)
+            pen = jnp.maximum(marg - phi, 0.0)
+            active = (phi < marg).astype(pen.dtype)
             d_r = _imp_scalar(pen, pair.solimp)
             c_n = meff_c * d_r * b_ref
             fn = jnp.maximum(

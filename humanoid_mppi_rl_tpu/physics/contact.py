@@ -71,6 +71,15 @@ _VT_EPS = 5e-3  # m/s tangential regularization (implicit => can be small)
 # Normal-walking exit velocities from Baumgarte stabilization are <~0.2 m/s.
 RESTITUTION_VCAP = 0.5
 
+# Environment (coupled/Newton) tier cap: the plant must match MuJoCo on
+# golden replays, and legitimate deep-stance frames (humanoid golden frames
+# 1117-1118: 4.7 cm foot penetration) need h*aref up to ~0.6 m/s that the
+# 0.5 m/s planner cap distorts into an 8e-3 one-step error. 2.0 m/s still
+# bounds a foot-slam bounce to ~0.2 m (the r1 exploit launched at >10 m/s)
+# while leaving every observed MuJoCo-legitimate aref uncapped — the
+# measured cap-free golden max is 1.7e-3 (scripts/dev_go1_golden.py triage).
+RESTITUTION_VCAP_ENV = 2.0
+
 
 def impedance(pen: jax.Array, solimp) -> jax.Array:
     """MuJoCo solimp impedance spline d(r) (mj docs "Solver parameters"):
@@ -161,6 +170,16 @@ def _self_pair_static(model: PhysicsModel):
     if not idx:
         return None
 
+    def _half_len(g):
+        """Segment half-length: capsules as-is; cylinders INSCRIBED
+        (half-length minus radius) so the round caps never extend past the
+        flat faces (false trunk/thigh contact otherwise)."""
+        if g.gtype != GEOM_CAPSULE:
+            return 0.0
+        if g.gtype_orig == 5:  # mjGEOM_CYLINDER
+            return max(float(g.size[1]) - float(g.size[0]), 0.0)
+        return float(g.size[1])
+
     def geom_arrs(which):
         gs = [model.geoms[getattr(model.contact_pairs[k], which)] for k in idx]
         return (
@@ -168,9 +187,8 @@ def _self_pair_static(model: PhysicsModel):
             np.stack([g.pos for g in gs]),
             np.stack([g.quat for g in gs]),
             np.array([g.size[0] for g in gs]),                 # radius
-            np.array([g.size[1] if g.gtype in (GEOM_CAPSULE, 5) else 0.0
-                      for g in gs]),                           # half-length
-            np.array([g.gtype in (GEOM_CAPSULE, 5) for g in gs]),
+            np.array([_half_len(g) for g in gs]),              # half-length
+            np.array([g.gtype == GEOM_CAPSULE for g in gs]),
         )
 
     b1, pos1, quat1, r1, h1, iscap1 = geom_arrs("geom1")
@@ -185,6 +203,11 @@ def _self_pair_static(model: PhysicsModel):
         meff=np.array([p.m_eff for p in prs]),
         invw=np.array([p.invw0 for p in prs]),
         solref=solref, solimp=solimp, capcap=iscap1 & iscap2,
+        margin=np.array([p.margin for p in prs]),
+        condim=np.array([p.condim for p in prs], dtype=np.int64),
+        friction5=np.stack([
+            p.friction5 if p.friction5 is not None
+            else np.array([p.mu, p.mu, 0.005, 1e-4, 1e-4]) for p in prs]),
     )
 
 
@@ -255,7 +278,13 @@ def _self_rows(model: PhysicsModel, state, S: jax.Array, dtype, topk: int):
     capcap = jnp.asarray(sp_["capcap"], bool)[:, None]
     t1 = jnp.where(capcap, cx, gs)
 
-    pen_all = jnp.maximum(-phi, 0.0)
+    # margin semantics (mjContact.includemargin, gap=0 for the task robots):
+    # a row activates when dist < margin, and the impedance/spring position
+    # is measured from the margin surface (verified against mjData.efc_aref,
+    # scripts/dev_go1_golden.py). All-zero margins for humanoid/hopper keep
+    # the original behavior bit-for-bit.
+    marg = jnp.asarray(sp_["margin"], dtype)
+    pen_all = jnp.maximum(marg - phi, 0.0)
     # pre-gather per-candidate impedance terms (static solimp handling)
     d_r_all = impedance(pen_all, sp_["solimp"]).astype(dtype)
     kb_all, br_all = solref_kb(sp_["solref"], sp_["solimp"])   # static np
@@ -266,7 +295,7 @@ def _self_rows(model: PhysicsModel, state, S: jax.Array, dtype, topk: int):
         return x[sel]
 
     pen, d_r = g(pen_all), g(d_r_all)
-    active = (g(phi) < 0.0).astype(dtype)
+    active = (g(phi) < g(marg)).astype(dtype)
     n_k, t1_k, pos_k = g(n), g(t1), g(pos)
     t2_k = jnp.cross(n_k, t1_k)
     bid1 = jnp.asarray(sp_["b1"])[sel]
@@ -291,19 +320,27 @@ def _self_rows(model: PhysicsModel, state, S: jax.Array, dtype, topk: int):
     JpN = jnp.sum(Jp * n_k[:, None, :], -1)
     Jt1 = jnp.sum(Jp * t1_k[:, None, :], -1)
     Jt2 = jnp.sum(Jp * t2_k[:, None, :], -1)
+    # relative angular jacobian rows (condim>=4 torsional/rolling friction)
+    Jw = S_ang[None] * Arel[:, :, None]                       # (K, nv, 3)
+    JwN = jnp.sum(Jw * n_k[:, None, :], -1)
+    Jwt1 = jnp.sum(Jw * t1_k[:, None, :], -1)
+    Jwt2 = jnp.sum(Jw * t2_k[:, None, :], -1)
 
     kb = jnp.asarray(kb_all, dtype)[sel]
     br = jnp.asarray(br_all, dtype)[sel]
     meff = jnp.asarray(sp_["meff"], dtype)[sel]
     invw = jnp.asarray(sp_["invw"], dtype)[sel]
     mu = jnp.asarray(sp_["mu"], dtype)[sel]
+    fri5 = jnp.asarray(sp_["friction5"], dtype)[sel]          # (K, 5) traced
     c_n = meff * d_r * br
     vt_norm = jnp.sqrt(jnp.sum(vt * vt, -1) + _VT_EPS * _VT_EPS)
 
     return dict(pen=pen, active=active, n=n_k, vn=vn, vt=vt, vt1=vt1,
                 vt2=vt2, vt_norm=vt_norm, Jp=Jp, JpN=JpN, Jt1=Jt1, Jt2=Jt2,
+                JwN=JwN, Jwt1=Jwt1, Jwt2=Jwt2,
                 d_r=d_r, c_n=c_n, mu=mu, k_base=kb, b_ref=br, meff=meff,
-                invw=invw)
+                invw=invw, fri5=fri5,
+                condim_max=int(sp_["condim"].max()) if len(sp_["condim"]) else 1)
 
 
 def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
@@ -314,6 +351,8 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
     numpy arrays (bid, mu, k_base, b_ref, meff). P points, typically 20-40
     for the task robots, in one batched computation.
     """
+    import numpy as np
+
     dtype = state.qpos.dtype
 
     body_ids: List[int] = []
@@ -325,6 +364,9 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
     solimps: List = []
     meffs: List[float] = []
     invws: List[float] = []
+    margins: List[float] = []
+    condims: List[int] = []
+    fri5s: List = []
 
     tangents: List[jax.Array] = []
 
@@ -365,13 +407,26 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
             solimps.append(pair.solimp)
             meffs.append(pair.m_eff)
             invws.append(pair.invw0)
+            margins.append(pair.margin)
+            condims.append(pair.condim)
+            fri5s.append(pair.friction5 if pair.friction5 is not None
+                         else np.array([pair.mu, pair.mu, 0.005, 1e-4, 1e-4]))
 
+        # contact position convention: MuJoCo puts contact.pos MIDWAY
+        # between the surfaces (pos = surface_point - n*dist/2) — the
+        # jacobian lever arm and row velocities are measured there, which
+        # shifts aref by ~1% per cm of penetration (frame-200 probe,
+        # scripts/dev_go1_probe.py)
         if g2.gtype == GEOM_SPHERE:
             r = size[0]
-            add(g_pos - n * r, jnp.dot(n, g_pos - p_pos) - r,
+            phi_s = jnp.dot(n, g_pos - p_pos) - r
+            add(g_pos - n * (r + 0.5 * phi_s), phi_s,
                 _make_frame_tangent(n))
         elif g2.gtype == GEOM_CAPSULE:
-            r, hl = size[0], size[1]
+            r = size[0]
+            # cylinders: inscribed capsule (see _self_pair_static._half_len)
+            hl = (jnp.maximum(size[1] - size[0], 0.0)
+                  if g2.gtype_orig == 5 else size[1])
             axis = g_R[:, 2]
             # MuJoCo plane-capsule frame: t1 = capsule axis projected onto
             # the plane (falls back to makeFrame when the capsule stands
@@ -382,18 +437,18 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
                                _make_frame_tangent(n))
             for sgn in (-1.0, 1.0):
                 c_end = g_pos + sgn * hl * axis
-                add(c_end - n * r, jnp.dot(n, c_end - p_pos) - r, t1_cap)
+                phi_c = jnp.dot(n, c_end - p_pos) - r
+                add(c_end - n * (r + 0.5 * phi_c), phi_c, t1_cap)
         elif g2.gtype == GEOM_BOX:
             t1_box = _make_frame_tangent(n)
             for sx in (-1.0, 1.0):
                 for sy in (-1.0, 1.0):
                     for sz in (-1.0, 1.0):
                         corner = g_pos + g_R @ (size * jnp.asarray([sx, sy, sz], dtype))
-                        add(corner, jnp.dot(n, corner - p_pos), t1_box)
+                        phi_b = jnp.dot(n, corner - p_pos)
+                        add(corner - n * (0.5 * phi_b), phi_b, t1_box)
         else:  # pragma: no cover
             raise NotImplementedError(f"plane vs geom type {g2.gtype}")
-
-    import numpy as np
 
     self_rows = _self_rows(model, state, S, dtype, SELF_TOPK)
     if not points and self_rows is None:
@@ -416,8 +471,9 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
         vt1 = jnp.sum(t1 * v_pt, axis=-1)
         vt2 = jnp.sum(t2 * v_pt, axis=-1)
 
-        pen = jnp.maximum(-phi, 0.0)
-        active = (phi < 0.0).astype(dtype)
+        marg = jnp.asarray(np.asarray(margins), dtype)     # (P,) static
+        pen = jnp.maximum(marg - phi, 0.0)
+        active = (phi < marg).astype(dtype)
 
         # point jacobians: J_p (P, nv, 3), J[:, d] = A[b,d] * (S_lin[d] +
         # S_ang[d] x p); JpN/Jt1/Jt2 (P, nv) the contact-frame rows
@@ -428,6 +484,11 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
         JpN = jnp.sum(Jp * n[:, None, :], axis=-1)         # (P, nv)
         Jt1 = jnp.sum(Jp * t1[:, None, :], axis=-1)        # (P, nv)
         Jt2 = jnp.sum(Jp * t2[:, None, :], axis=-1)        # (P, nv)
+        # angular (torsional/rolling) jacobian rows for condim>=4 pairs
+        Jw = S_ang[None] * A[:, :, None]                   # (P, nv, 3)
+        JwN = jnp.sum(Jw * n[:, None, :], axis=-1)
+        Jwt1 = jnp.sum(Jw * t1[:, None, :], axis=-1)
+        Jwt2 = jnp.sum(Jw * t2[:, None, :], axis=-1)
 
         k_base, b_ref = solref_kb(solrefs, solimps)        # static (P,)
         d_r = impedance(pen, solimps).astype(dtype)
@@ -437,26 +498,35 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
 
         plane = dict(pen=pen, active=active, n=n, vn=vn, vt=vt, vt1=vt1,
                      vt2=vt2, vt_norm=vt_norm, Jp=Jp, JpN=JpN, Jt1=Jt1,
-                     Jt2=Jt2, d_r=d_r, c_n=c_n,
+                     Jt2=Jt2, JwN=JwN, Jwt1=Jwt1, Jwt2=Jwt2,
+                     d_r=d_r, c_n=c_n,
                      mu=jnp.asarray(np.asarray(mus), dtype),
                      k_base=jnp.asarray(k_base, dtype),
                      b_ref=jnp.asarray(b_ref, dtype), meff=meff,
-                     invw=jnp.asarray(np.asarray(invws), dtype))
+                     invw=jnp.asarray(np.asarray(invws), dtype),
+                     fri5=jnp.asarray(np.stack(fri5s), dtype))
 
     # merge plane + self blocks; plane rows first so their static metadata
-    # (mu_plane_static: the frictionless/friction split indices used by the
-    # coupled QP) indexes the prefix, the K self rows occupy the static
-    # suffix positions with data-dependent contents
+    # (mu_plane_static / condim_plane: the row-class split indices used by
+    # the coupled solvers) indexes the prefix, the K self rows occupy the
+    # static suffix positions with data-dependent contents
+    self_condim_max = 1
+    if self_rows is not None:
+        self_condim_max = self_rows.pop("condim_max")
     if plane is None:
         rows = {k: v for k, v in self_rows.items()}
         rows["n_plane"] = 0
         rows["mu_plane_static"] = np.zeros(0)
+        rows["condim_plane"] = np.zeros(0, dtype=np.int64)
         rows["n_self"] = self_rows["pen"].shape[0]
+        rows["condim_self_max"] = self_condim_max
         return rows
     if self_rows is None:
         plane["n_plane"] = plane["pen"].shape[0]
         plane["mu_plane_static"] = np.asarray(mus)
+        plane["condim_plane"] = np.asarray(condims, dtype=np.int64)
         plane["n_self"] = 0
+        plane["condim_self_max"] = 1
         return plane
     merged = {
         k: jnp.concatenate([plane[k], self_rows[k]], axis=0)
@@ -464,7 +534,9 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
     }
     merged["n_plane"] = plane["pen"].shape[0]
     merged["mu_plane_static"] = np.asarray(mus)
+    merged["condim_plane"] = np.asarray(condims, dtype=np.int64)
     merged["n_self"] = self_rows["pen"].shape[0]
+    merged["condim_self_max"] = self_condim_max
     return merged
 
 

@@ -275,11 +275,17 @@ def _limit_force(viol, pos_dot, a0_pos, solref, solimp, meff, lim, dtype,
     return f_c, c
 
 
-def _passive_forces(model: PhysicsModel, qpos, qvel):
+def _passive_forces(model: PhysicsModel, qpos, qvel,
+                    frictionloss: bool = True):
     """Springs, dampers, smooth friction loss, joint-limit and tendon-limit
     penalties (the reference relies on MuJoCo's constraint solver for
     limits; here they are smooth penalties with solref/solimp-matched
     impedance — see contact.py for the force law).
+
+    frictionloss=False: skip the smooth tanh Coulomb friction (the coupled
+    Newton tier resolves dof_frictionloss as Huber constraint rows exactly
+    as MuJoCo does — physics/newton.py; the tanh is the decoupled penalty
+    tier's smooth approximation).
 
     Returns (tau, G_extra) where G_extra (nv, nv) is the velocity-derivative
     of the stiff force terms, folded into the implicit-Euler matrix by the
@@ -290,12 +296,13 @@ def _passive_forces(model: PhysicsModel, qpos, qvel):
     tau = -jnp.asarray(model.dof_damping, dtype) * qvel
     g_diag = jnp.zeros(model.nv, dtype)
     G_extra = None
-    # smooth Coulomb friction loss (implicit linearization of the slope)
-    fl = jnp.asarray(model.dof_frictionloss, dtype)
-    w_fl = 0.05
-    tau = tau - fl * jnp.tanh(qvel / w_fl)
-    sech2 = 1.0 - jnp.tanh(qvel / w_fl) ** 2
-    g_diag = g_diag + fl / w_fl * sech2
+    if frictionloss:
+        # smooth Coulomb friction loss (implicit linearization of the slope)
+        fl = jnp.asarray(model.dof_frictionloss, dtype)
+        w_fl = 0.05
+        tau = tau - fl * jnp.tanh(qvel / w_fl)
+        sech2 = 1.0 - jnp.tanh(qvel / w_fl) ** 2
+        g_diag = g_diag + fl / w_fl * sech2
 
     # joint springs (smooth, not constraints)
     if model.hs_qposadr.shape[0]:
@@ -735,12 +742,16 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
     # negative gradient enter. Four iterations land within 1e-6 of the
     # reference QP optimum on every golden frame.
     H = Amat + jnp.diag(R)
-    eye = jnp.eye(C, dtype=dtype)
+    # small ridge keeps the masked solve effective on rank-deficient
+    # working sets (4 redundant pyramid facets with d near the 0.9999 clip
+    # push R toward ~1e-16*invw0, where assume_a='pos' can NaN in f32 and
+    # the refinement would be silently discarded by the objective guard)
+    ridge = 1e-9 * jnp.max(Adiag)
 
     def pivot(fS, _):
-        f_prev, S = fS
+        _, S = fS
         So = S[:, None] * S[None, :]
-        Hm = So * H + jnp.diag(1.0 - S)
+        Hm = So * H + jnp.diag(1.0 - S + ridge)
         fs = jax.scipy.linalg.solve(Hm, S * rhs, assume_a="pos")
         fp = jnp.maximum(fs, 0.0) * active
         grad = H @ fp - rhs
@@ -787,8 +798,16 @@ def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
     M = mass_matrix(model, S, I)
     bias = bias_forces(model, S, I, V, qvel)
 
+    has_limits = bool(model.hs_limited.any() or model.tendon_limited.any())
+    has_fl = bool((model.dof_frictionloss > 0).any())
+    newton_mode = solver == "coupled" and (
+        model.contact_pairs or has_limits or has_fl)
+
     tau = _actuator_forces(model, qpos, qvel, ctrl)
-    tau_p, G_p = _passive_forces(model, qpos, qvel)
+    # Newton tier resolves dof_frictionloss as Huber constraint rows
+    # (physics/newton.py), so the smooth tanh approximation is excluded there
+    tau_p, G_p = _passive_forces(model, qpos, qvel,
+                                 frictionloss=not newton_mode)
     tau = tau + tau_p
 
     # implicit-damping Euler (mujoco mj_Euler): qacc = (M + h D)^-1 f_explicit,
@@ -796,13 +815,22 @@ def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
     Mh = M + h * jnp.diag(jnp.asarray(model.dof_damping, dtype)) + h * G_p
     f = tau - bias
 
-    has_limits = bool(model.hs_limited.any() or model.tendon_limited.any())
-    if solver == "coupled" and (model.contact_pairs or has_limits):
+    if newton_mode:
         # phase 1: unconstrained smooth acceleration against PLAIN M (incl.
         # armature) — MuJoCo's qacc_smooth; damping acts explicitly in f
         Lp = jax.scipy.linalg.cho_factor(M)
         qacc0 = jax.scipy.linalg.cho_solve(Lp, f)
-        # phase 2: coupled constraint QP at (state, qacc0); forces explicit
+        # phase 2: primal Newton on MuJoCo's convex constraint problem
+        # (elliptic/pyramidal cones, limits, frictionloss — newton.py)
+        from .newton import newton_constraint_forces
+
+        f = f + newton_constraint_forces(model, state, S, qacc0, M,
+                                         n_iter=n_iter)
+    elif solver == "coupled_pgs" and (model.contact_pairs or has_limits):
+        # legacy round-2 dual solver (projected Gauss-Seidel + active-set
+        # refinement on the pyramidal QP) — kept for comparison/triage
+        Lp = jax.scipy.linalg.cho_factor(M)
+        qacc0 = jax.scipy.linalg.cho_solve(Lp, f)
         f = f + _coupled_constraint_terms(model, state, S, Lp, qacc0,
                                           n_iter=n_iter)
     elif solver == "penalty":
@@ -815,7 +843,7 @@ def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
             tau_ct, G_c = contact_terms(model, state, S)
             f = f + tau_ct
             Mh = Mh + h * G_c
-    elif solver != "coupled":  # pragma: no cover
+    elif solver not in ("coupled", "coupled_pgs"):  # pragma: no cover
         raise ValueError(f"unknown solver {solver!r}")
     L = jax.scipy.linalg.cho_factor(Mh)
     qacc = jax.scipy.linalg.cho_solve(L, f)

@@ -80,6 +80,12 @@ class Geom:
     margin: float
     priority: int
     condim: int
+    # original MJCF type before the cylinder->capsule narrowphase
+    # approximation (GEOM_CYLINDER geoms step as capsules INSCRIBED in the
+    # cylinder: half-length reduced by the radius so the round caps never
+    # reach past the flat faces — a false trunk/thigh contact otherwise,
+    # scripts/dev_go1_probe.py)
+    gtype_orig: int = -1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,6 +119,9 @@ class ContactPair:
     solimp: np.ndarray    # combined (d0, dmax, width, midpoint, power)
     condim: int
     margin: float
+    # combined 5-vector friction (slide, slide, torsion, roll, roll) — the
+    # mjContact.friction layout used by the elliptic-cone solver rows
+    friction5: np.ndarray = None
     # effective inertia (kg) seen by the contact along its normal at qpos0,
     # 1 / (J M^-1 J^T) — scales the solref/solimp impedance into a force,
     # the penalty analog of the constraint solver's diag(A) regularizer
@@ -121,7 +130,12 @@ class ContactPair:
     # two bodies' translational invweight0 (trace(Jc M^-1 Jc^T)/3 at qpos0,
     # mj body_invweight0[:,0]). R_normal = (1-d)/d * invw0;
     # R_pyramid_facet = R_normal * 2 mu^2 (1 + mu^2) — formulas recovered
-    # by controlled probes against mjData.efc_R (scripts/dev_frame_triage.py)
+    # by controlled probes against mjData.efc_R (scripts/dev_frame_triage.py).
+    # The pyramid-facet law applies the single slide coefficient `mu` to all
+    # 4 facets (isotropic friction assumption — MuJoCo's mj_diagApprox uses
+    # per-facet friction[j/2]; identical for the task robots, which all
+    # declare equal tangential frictions). friction5 carries the full
+    # anisotropic vector for the elliptic path.
     invw0: float = 1.0
 
 
@@ -221,6 +235,18 @@ class PhysicsModel:
     # diagApprox the coupled QP's limit-row regularizer R uses
     hs_limit_invw0: np.ndarray = None   # (nhs,)
     tendon_invweight0: np.ndarray = None  # (ntendon,) mj tendon_invweight0
+    # mjOption constraint-solver semantics: cone (0=pyramidal, 1=elliptic)
+    # and impratio (frictional-to-normal constraint impedance ratio; for
+    # elliptic cones R_friction_i = R_normal * (mu1/mu_i)^2 / impratio —
+    # recovered against mjData.efc_R, scripts/dev_go1_golden.py)
+    cone: int = 0
+    impratio: float = 1.0
+    # mj dof_invweight0 for ALL dofs — diagApprox of the dof-friction
+    # (frictionloss) constraint rows' regularizer
+    dof_invweight0: np.ndarray = None   # (nv,)
+    # per-dof friction-row solver parameters (mj dof_solref/dof_solimp)
+    dof_solref: np.ndarray = None       # (nv, 2)
+    dof_solimp: np.ndarray = None       # (nv, 5)
 
     # penalty-model tuning (see contact.py); derived defaults set at build
     contact_stiffness: float = 0.0
@@ -367,14 +393,16 @@ def build_from_mjcf(
     for g in range(m.ngeom):
         if m.geom_contype[g] == 0 and m.geom_conaffinity[g] == 0:
             continue  # visual-only
-        gt = int(m.geom_type[g])
+        gt_orig = int(m.geom_type[g])
+        gt = gt_orig
         if gt == GEOM_CYLINDER:
-            gt = GEOM_CAPSULE  # documented approximation (round caps added)
+            gt = GEOM_CAPSULE  # inscribed-capsule approximation (see Geom)
         if gt not in (GEOM_PLANE, GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX):
             raise NotImplementedError(f"geom type {gt} not supported")
         geoms.append(
             Geom(
                 gtype=gt,
+                gtype_orig=gt_orig,
                 bodyid=int(m.geom_bodyid[g]),
                 pos=m.geom_pos[g].copy(),
                 quat=m.geom_quat[g].copy(),
@@ -438,19 +466,23 @@ def build_from_mjcf(
             # default solmix=1)
             if g1.priority != g2.priority:
                 hp = g1 if g1.priority > g2.priority else g2
-                mu = float(hp.friction[0])
+                fri3 = hp.friction.copy()
                 solref = hp.solref.copy()
                 solimp = hp.solimp.copy()
                 condim = hp.condim
             else:
-                mu = float(max(g1.friction[0], g2.friction[0]))
+                fri3 = np.maximum(g1.friction, g2.friction)
                 solref = 0.5 * (g1.solref + g2.solref)
                 solimp = 0.5 * (g1.solimp + g2.solimp)
                 condim = max(g1.condim, g2.condim)
+            mu = float(fri3[0])
+            # mjContact.friction layout: (slide, slide, torsion, roll, roll)
+            friction5 = np.array([fri3[0], fri3[0], fri3[1], fri3[2], fri3[2]])
             pairs.append(
                 ContactPair(
                     geom1=a, geom2=b, mu=mu, solref=solref, solimp=solimp,
                     condim=condim, margin=max(g1.margin, g2.margin),
+                    friction5=friction5,
                     m_eff=_pair_m_eff(geom_orig_idx[a], geom_orig_idx[b]),
                     invw0=float(
                         m.body_invweight0[m.geom_bodyid[geom_orig_idx[a]], 0]
@@ -653,4 +685,9 @@ def build_from_mjcf(
         hs_limit_invw0=(np.array([m.dof_invweight0[j.dofadr] for j in hs])
                         if hs else np.zeros(0)),
         tendon_invweight0=m.tendon_invweight0.copy(),
+        cone=int(m.opt.cone),
+        impratio=float(m.opt.impratio),
+        dof_invweight0=m.dof_invweight0.copy(),
+        dof_solref=m.dof_solref.copy(),
+        dof_solimp=m.dof_solimp.copy(),
     )

@@ -43,12 +43,12 @@ def test_one_step_prediction_vs_reference_log_full_set(ref_traj):
 
     MuJoCo C replays the whole chain at 4.6e-14 max (verified below), so
     every frame is a true golden pair. Measured error ladder (see PARITY.md
-    "fidelity tiers"): constraint-free frames are machine-precision
-    (5e-13); constrained frames — median 8.4e-5, p90 8.6e-4, max 9.4e-3
-    (mj-exact invweight0 diagApprox regularizer + block-pivoting active-set
-    refinement of the QP,
-    after the round-2 solver fixes (restitution cap floored at zero push;
-    same-slot row-sum damping for clustered self-collision rows). Penalty
+    "fidelity tiers"), round-3 primal Newton coupled solver
+    (physics/newton.py — solves MuJoCo's strictly convex constraint
+    problem with exact zone Hessians): constraint-free frames are
+    machine-precision (5e-13); constrained frames — median 4.9e-13
+    (most constrained frames now match MuJoCo exactly), p90 7.9e-8,
+    max 1.7e-3 (a single clustered self-collision frame, 1145). Penalty
     tier (planner): decoupled impedance ladder, median < 0.05."""
     from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward, step
 
@@ -88,9 +88,9 @@ def test_one_step_prediction_vs_reference_log_full_set(ref_traj):
     free = nefc == 0
     if free.any():
         assert err_c[free].max() < 1e-9, err_c[free].max()
-    assert np.median(err_c) < 2e-4, np.median(err_c)
-    assert np.quantile(err_c, 0.9) < 2e-3, np.quantile(err_c, 0.9)
-    assert err_c.max() < 1.3e-2, err_c.max()
+    assert np.median(err_c) < 1e-10, np.median(err_c)
+    assert np.quantile(err_c, 0.9) < 2e-6, np.quantile(err_c, 0.9)
+    assert err_c.max() < 3e-3, err_c.max()
 
     step_p = jax.jit(jax.vmap(lambda a, b, c: step(
         pm_planner, forward(pm_planner, a, b), c, solver="penalty").qpos))
