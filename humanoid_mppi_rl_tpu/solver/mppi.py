@@ -177,6 +177,54 @@ def rollout_costs(
     return jax.vmap(one_sample)(noise)
 
 
+def rollout_costs_batched(
+    dynamics_fn: DynamicsFn,
+    cost_fn: CostFn,
+    terminal_fn: Optional[TerminalFn],
+    cfg: MPPIConfig,
+    dyn_state: Any,
+    U: jax.Array,
+    noise: jax.Array,
+) -> jax.Array:
+    """rollout_costs for dynamics that consume the K batch natively.
+
+    `dynamics_fn(x, u, t)` here takes x: (K, nx) and u: (K, nu) and returns
+    (K, nx) — required when the dynamics is itself a Pallas kernel (e.g.
+    ops/estimator_kernel.make_flash_feature_attention): tracing it per-sample
+    under the vmap in `rollout_costs` would hand Pallas a batch-of-1 grid per
+    sample instead of one K-wide grid. Cost/terminal fns stay per-sample and
+    are vmapped here (they are elementwise jnp, so the vmap is free)."""
+    K = noise.shape[0]
+    x0 = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a, (K,) + a.shape), dyn_state)
+    ts = jnp.arange(cfg.T)
+    noise_t = jnp.swapaxes(noise, 0, 1)              # (T, K, nu)
+    cost_v = jax.vmap(cost_fn, in_axes=(0, 0, None))
+
+    def body(carry, inp):
+        state, acc = carry
+        u_nom, e, t = inp
+        u = u_nom[None, :] + e
+        if cfg.clamp_rollout_ctrl:
+            u = _clip_ctrl(u, cfg)
+        state = dynamics_fn(state, u, t)
+        acc = acc + cost_v(state, u, t)
+        return (state, acc), None
+
+    acc_dtype = jax.eval_shape(
+        lambda s, u, t: cost_fn(s, u, t), dyn_state, U[0], ts[0]).dtype
+    (final_state, acc), _ = jax.lax.scan(
+        body, (x0, jnp.zeros((K,), dtype=acc_dtype)), (U, noise_t, ts))
+    if terminal_fn is not None:
+        acc = acc + jax.vmap(terminal_fn, in_axes=(0, None))(
+            final_state, jnp.asarray(cfg.T))
+    elif cfg.terminal_scale:
+        acc = acc + cfg.terminal_scale * cost_v(
+            final_state, jnp.zeros((K, U.shape[-1]), U.dtype),
+            jnp.asarray(cfg.T))
+    return acc
+
+
 def sample_noise_blocked(sub: jax.Array, T: int, nu: int, n_local: int,
                          block: int, block_offset=0,
                          dtype=jnp.float32) -> jax.Array:
@@ -222,6 +270,7 @@ def make_mppi(
     terminal_fn: Optional[TerminalFn] = None,
     nu: Optional[int] = None,
     update_op: Optional[Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]] = None,
+    batched_dynamics: bool = False,
 ):
     """Build the pure `plan` function.
 
@@ -229,7 +278,11 @@ def make_mppi(
 
     `update_op(costs, noise) -> (update, aux)` lets callers swap in the Pallas
     fused weighting kernel or a psum-sharded version; default is plain jnp.
+    `batched_dynamics=True` routes rollouts through `rollout_costs_batched`
+    for dynamics that consume the whole (K, nx) batch per step (Pallas-kernel
+    surrogates).
     """
+    rollout = rollout_costs_batched if batched_dynamics else rollout_costs
 
     def plan(mppi_state: MPPIState, dyn_state: Any, noise: Any = None):
         """noise: optional injected (K, T, nu) perturbation field replacing
@@ -251,7 +304,7 @@ def make_mppi(
             noise = injected if injected is not None else (
                 sigma * jax.random.normal(
                     sub, (cfg.K, cfg.T, U.shape[-1]), dtype=U.dtype))
-            costs = rollout_costs(
+            costs = rollout(
                 dynamics_fn, cost_fn, terminal_fn, cfg, dyn_state, U, noise)
             if update_op is not None:
                 update, (w, beta) = update_op(costs, noise)
