@@ -12,19 +12,26 @@ This kernel removes that traffic entirely: the grid tiles K into blocks of
 `block_b` samples, each program holds its whole residual stream in VMEM and
 runs encode -> L x (LN -> QKV -> attention -> out-proj -> residual -> LN ->
 FFN -> residual) -> head without touching HBM in between. Per program the
-only HBM traffic is the (block_b, F) input row block, the (block_b,
+only HBM traffic is the (block_b*F, 1) input block, the (block_b,
 state_dim) output block, and the weights (fetched once — their BlockSpec
 index is grid-constant, so Pallas keeps them resident in VMEM across grid
 steps).
 
-Layout notes (v5e):
-- activations live flattened as (block_b * F, H) bf16 so the token-parallel
-  matmuls run at full MXU occupancy with no F=49 -> 64 sublane-padding
-  waste; the attention reshapes to (block_b, F, head_dim) only for the tiny
-  (~1% of FLOPs) score/value contractions, which run as batched dot_general.
+Layout notes (v5e Mosaic):
+- activations live flattened as (block_b * F, H) bf16: token-parallel
+  matmuls run at full MXU occupancy with no F=49 -> 56/64 sublane-padding
+  waste, and each row is one token so LayerNorm/bias/relu are plain row
+  ops. The caller flattens x to (B*F, 1) and the positional embedding is
+  pre-tiled to (block_b*F, H), so the encode needs no reshape at all.
+- attention reshapes q/k/v to (block_b, F, H) — a sublane SPLIT, which
+  Mosaic supports — and runs per-head (scores, softmax, weighted-V) as
+  batched dot_generals (~1% of FLOPs). The inverse MERGE reshape
+  (block_b, F, H) -> (block_b*F, H) is NOT lowerable by Mosaic (measured:
+  compiler crash), so the attention output returns to the flat layout
+  through a VMEM scratch + per-sample dynamic-slice copy loop
+  (_merge_3d_to_2d) — a pure-VMEM copy, no HBM involvement.
 - LayerNorm statistics in f32 (matching flax), matmuls in bf16 with f32
-  accumulation (preferred_element_type).
-- softmax in f32 over the logical F=49 key axis.
+  accumulation (preferred_element_type), softmax in f32.
 
 Numerics match models.fast_apply.make_fast_feature_attention (same op
 order, same dtypes) — asserted in tests/test_estimator_kernel.py.
@@ -32,7 +39,6 @@ order, same dtypes) — asserted in tests/test_estimator_kernel.py.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -41,11 +47,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pack_params(module, params, cd):
-    """Flax param tree -> flat list of padded 2D arrays + static meta."""
+def _pack_params(module, params, cd, block_b):
+    """Flax param tree -> flat list of 2D/3D arrays + static meta."""
     p = params["params"] if "params" in params else params
     H = module.hidden_dim
-    F = module.state_dim + module.action_dim
 
     def cast(x):
         return jnp.asarray(x, cd)
@@ -57,10 +62,10 @@ def _pack_params(module, params, cd):
         cast(p["LayerNorm_0"]["bias"]),        # ln0_b
         cast(p["Dense_1"]["kernel"][:, 0]),    # w_out (head)
     ])                                          # (5, H)
-    pos = cast(p["pos_embedding"])              # (F, H)
-    b_out = float(p["Dense_1"]["bias"][0])      # scalar, baked in
+    # positional embedding pre-tiled to the block's flat row layout
+    pos_tiled = jnp.tile(cast(p["pos_embedding"]), (block_b, 1))
 
-    flat = [enc, pos]
+    flat = [enc, pos_tiled]
     for i in range(module.attn_layers):
         blk = p[f"_TransformerBlock_{i}"]
         mha = blk["MultiHeadDotProductAttention_0"]
@@ -85,7 +90,7 @@ def _pack_params(module, params, cd):
         b1 = cast(blk["Dense_0"]["bias"]).reshape(1, 4 * H)
         w2 = cast(blk["Dense_1"]["kernel"])     # (4H, H)
         flat += [vecs, wqkvo, w1, b1, w2]
-    return flat, b_out
+    return flat
 
 
 def make_flash_feature_attention(module, params: Any,
@@ -104,8 +109,8 @@ def make_flash_feature_attention(module, params: Any,
     Sd = module.state_dim
     cd = compute_dtype
     inv_sqrt_hd = 1.0 / (hd ** 0.5)
-
-    flat_params, b_out = _pack_params(module, params, cd)
+    _p = params["params"] if "params" in params else params
+    b_out = float(_p["Dense_1"]["bias"][0])    # scalar head bias, baked in
 
     def layer_norm2(x2, scale, bias):
         xf = x2.astype(jnp.float32)
@@ -118,20 +123,31 @@ def make_flash_feature_attention(module, params: Any,
         return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(cd)
 
     def kernel(x_ref, enc_ref, pos_ref, *rest):
-        layer_refs, out_ref = rest[:-1], rest[-1]
-        bb = x_ref.shape[0]
+        # rest = 5 refs per layer, out_ref, then 2 scratch refs
+        layer_refs, out_ref = rest[:5 * L], rest[5 * L]
+        a3_s, a2_s = rest[5 * L + 1], rest[5 * L + 2]
+        bb = out_ref.shape[0]
         w_enc = enc_ref[0, :]
         b_enc = enc_ref[1, :]
         ln0_s = enc_ref[2, :]
         ln0_b = enc_ref[3, :]
         w_head = enc_ref[4, :]
 
-        # token encode: outer product (Linear(1,H) is a broadcast multiply)
-        x = x_ref[:].astype(cd)                       # (bb, F)
-        h3 = x[:, :, None] * w_enc + b_enc            # (bb, F, H)
-        h3 = layer_norm2(h3, ln0_s, ln0_b)
-        h3 = jnp.maximum(h3, 0) + pos_ref[:]          # + (F, H)
-        h2 = h3.reshape(bb * F, H)
+        # token encode: Linear(1,H) is a broadcast multiply over flat rows
+        h2 = x_ref[:].astype(cd) * w_enc + b_enc      # (bb*F, H)
+        h2 = layer_norm2(h2, ln0_s, ln0_b)
+        h2 = jnp.maximum(h2, 0) + pos_ref[:]
+
+        def merge_3d_to_2d(val3):
+            # Mosaic cannot lower the (bb, F, H) -> (bb*F, H) sublane merge
+            # as a reshape (F=49 is not a sublane-tile multiple); stage the
+            # value in VMEM scratch and copy per sample — pure VMEM traffic.
+            a3_s[:] = val3
+            def body(i, _):
+                a2_s[pl.ds(i * F, F), :] = a3_s[i]
+                return 0
+            jax.lax.fori_loop(0, bb, body, 0, unroll=False)
+            return a2_s[:]
 
         for li in range(L):
             vecs, wqkvo, w1, b1, w2 = layer_refs[5 * li: 5 * li + 5]
@@ -159,7 +175,7 @@ def make_flash_feature_attention(module, params: Any,
                 heads.append(jax.lax.dot_general(
                     w, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32).astype(cd))
-            a2 = jnp.concatenate(heads, axis=-1).reshape(bb * F, H)
+            a2 = merge_3d_to_2d(jnp.concatenate(heads, axis=-1))
 
             h2 = h2 + mm(a2, wqkvo[3]) + bo
             y2 = layer_norm2(h2, ln2_s, ln2_b)
@@ -167,24 +183,31 @@ def make_flash_feature_attention(module, params: Any,
             h2 = h2 + mm(f, w2[:]) + b2
 
         # per-token scalar head: h . w_out + b_out, truncated to state_dim
-        out3 = jnp.sum((h2.reshape(bb, F, H) * w_head).astype(jnp.float32),
+        out3 = jnp.sum((h2 * w_head).astype(jnp.float32).reshape(bb, F, H),
                        axis=-1) + b_out                # (bb, F) f32
         out_ref[:] = out3[:, :Sd]
 
-    @jax.jit
+    # packed EAGERLY at build time (concrete device arrays): inside a later
+    # jit/eval_shape trace they close over as constants — packing lazily
+    # under a trace would leak tracers into any cached callable
+    flat_full = _pack_params(module, params, cd, block_b)
+
     def forward_2d(x2):
         B = x2.shape[0]
-        bb = min(block_b, B)
-        pad = (-B) % bb
+        block = min(block_b, B)
+        pad = (-B) % block
         if pad:
             x2 = jnp.pad(x2, ((0, pad), (0, 0)))
         Bp = B + pad
-        grid = (Bp // bb,)
-        const = lambda *shape: (lambda b: tuple(0 for _ in shape))
-        in_specs = [pl.BlockSpec((bb, F), lambda b: (b, 0))]
+        xflat = x2.reshape(Bp * F, 1)
+        grid = (Bp // block,)
+        # pos_tiled is the only block-size-dependent operand: slice the
+        # block_b-sized tile down (block <= block_b always)
+        flat_params = [flat_full[0], flat_full[1][: block * F]] + flat_full[2:]
+        const = lambda nd: (lambda b: (0,) * nd)
+        in_specs = [pl.BlockSpec((block * F, 1), lambda b: (b, 0))]
         for arr in flat_params:
-            in_specs.append(
-                pl.BlockSpec(arr.shape, const(*arr.shape)))
+            in_specs.append(pl.BlockSpec(arr.shape, const(arr.ndim)))
         compiler_params = None
         if not interpret:
             compiler_params = pltpu.CompilerParams(
@@ -195,11 +218,15 @@ def make_flash_feature_attention(module, params: Any,
             kernel,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((bb, Sd), lambda b: (b, 0)),
+            out_specs=pl.BlockSpec((block, Sd), lambda b: (b, 0)),
             out_shape=jax.ShapeDtypeStruct((Bp, Sd), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((block, F, H), cd),
+                pltpu.VMEM((block * F, H), cd),
+            ],
             compiler_params=compiler_params,
             interpret=interpret,
-        )(x2, *flat_params)
+        )(xflat, *flat_params)
         return out[:B] if pad else out
 
     def apply(_params, x, deterministic: bool = True):

@@ -113,14 +113,14 @@ def test_cartpole_control_sequence_matches_reference_loop():
     machine epsilon fully decorrelate within ~80 carried steps — asserting
     free-running equality would test chaos, not code.
 
-    Tolerance is conditioned on constraint activity: replans whose rollouts
-    never engage the slider joint limit must match to machine precision
-    (measured 2.7e-12 over 99 clean replans); limit-engaging replans compare
-    our coupled constraint solver against MuJoCo's and inherit that tier's
-    tolerance (measured 0.096 max; the cheap penalty planning tier gives
-    O(1) there, which is why this harness plans on the coupled tier).
-    Engine drift is also measured on a free-running shadow plant over the
-    first 50 steps."""
+    Tolerance is conditioned on constraint activity only for provenance:
+    with the primal Newton constraint solver (physics/newton.py) both
+    classes now match to machine precision — clean replans measured
+    1.8e-12 over 109, limit-engaging replans 1.3e-12 over 91 (the
+    pre-Newton dual PGS tier deviated up to 6.1e-2 on limit-active
+    replans; the cheap penalty planning tier gives O(1) there, which is
+    why this harness plans on the coupled tier). Engine drift is also
+    measured on a free-running shadow plant over the first 50 steps."""
     n_steps = 200
     spec, model, _dyn_pen, running, terminal, init_state, cfg = load_task("cartpole")
     assert (cfg.K, cfg.T, cfg.temperature, cfg.sigma) == (30, 100, 1.0, 1.0)
@@ -151,7 +151,7 @@ def test_cartpole_control_sequence_matches_reference_loop():
         du = float(np.max(np.abs(np.asarray(action) - ref_action)))
         if oracle.last_limit_hit:
             du_limit = max(du_limit, du)
-            assert du < 0.3, f"step {i} (limit-active): control deviates by {du}"
+            assert du < 1e-9, f"step {i} (limit-active): control deviates by {du}"
         else:
             n_clean += 1
             du_clean = max(du_clean, du)
