@@ -30,7 +30,31 @@ ESTIMATOR_CONFIGS = {
     # reference src/quadruped_mppi_estimator.py:38-41
     "quadruped": MPPIConfig(n_samples=2048, horizon=50, temperature=10.0,
                             sigma=0.4, update_mode="replace", tail_decay=0.1),
+    # humanoid surrogate (new — the reference trains the humanoid predictor,
+    # learning/train.py:71-77, but never closes the loop on it; same
+    # replace-mode MPPI pattern as its two estimator scripts)
+    "humanoid": MPPIConfig(n_samples=2048, horizon=50, temperature=10.0,
+                           sigma=0.4, update_mode="replace", tail_decay=0.1),
 }
+
+
+def humanoid_estimator_costs(goal_pos=(2.0, 0.0, 1.28), action_dim=21):
+    """Goal-reaching cost over the humanoid surrogate's 30-dim state
+    [qpos(28); foot_l_z; foot_r_z] (the training state_idxes,
+    learning/train.py PRESET_CONFIGS['humanoid']). Same structure as
+    quadruped_estimator_costs (reference src/quadruped_mppi_estimator.py:
+    48-55): drive the root toward the goal, keep standing height,
+    regularize control."""
+    goal = jnp.asarray(goal_pos)
+
+    def running(x, u, t):
+        return (jnp.sum((x[..., :3] - goal) ** 2)
+                + 0.1 * jnp.sum(u ** 2))
+
+    def terminal(x, t):
+        return 10.0 * jnp.sum((x[..., :3] - goal) ** 2)
+
+    return running, terminal
 
 
 def quadruped_estimator_costs(goal_pos=(2.0, 0.0, 0.35), action_dim=12):
@@ -51,18 +75,28 @@ class EstimatorRunner:
 
     def __init__(self, asset_path: str, apply_fn, params,
                  cfg: MPPIConfig, running, terminal,
-                 state_slice: Optional[int] = None, seed: int = 0):
+                 state_slice: Optional[int] = None, seed: int = 0,
+                 state_fn: Optional[Callable] = None,
+                 batched_dynamics: bool = False):
+        """`state_fn(plant) -> x` overrides the default [qpos; qvel]
+        estimator state (e.g. the humanoid surrogate plans on
+        [qpos; foot heights] — the 30 columns it was trained on).
+        `batched_dynamics=True` routes rollouts through
+        rollout_costs_batched for Pallas-kernel surrogates
+        (ops/estimator_kernel)."""
         # full-fidelity plant: coupled constraint tier + body-body contacts
         # (the reference's evaluation plant is MuJoCo itself)
         self.plant_model = build_from_mjcf(asset_path,
                                            include_self_collisions=True)
         self.cfg = cfg
         net_dyn = make_learned_dynamics(apply_fn, params, state_slice=state_slice)
-        plan = make_mppi(net_dyn, running, cfg, terminal_fn=terminal)
+        plan = make_mppi(net_dyn, running, cfg, terminal_fn=terminal,
+                         batched_dynamics=batched_dynamics)
         plant_model = self.plant_model
+        extract = state_fn or (lambda plant: flat_state_from_physics(plant))
 
         def control_step(ms: MPPIState, plant_state):
-            x = flat_state_from_physics(plant_state)
+            x = extract(plant_state)
             action, ms, diag = plan(ms, x)
             new_plant = step(plant_model, plant_state, action)
             return action, ms, new_plant, diag

@@ -56,6 +56,12 @@ class TrainConfig:
     # train/eval loss-curve PNG written after the run (reference
     # learning/train_quadruped.py:172-187); None -> skip
     plot_path: Optional[str] = None
+    # run each epoch as ONE device program (lax.scan over batches with the
+    # dataset resident on device) instead of a host loop of per-batch calls.
+    # Essential on remote/tunneled devices where every call pays wire
+    # latency: a 200-epoch humanoid run is ~400 device calls instead of
+    # ~200k. Per-step TensorBoard scalars are skipped in this mode.
+    scan_epochs: bool = False
 
 
 PRESET_CONFIGS = {
@@ -110,6 +116,52 @@ def make_steps(apply_fn):
         return loss, diff.mean(), diff.max(), pct.mean(), diff.mean(axis=0)
 
     return train_step, eval_step
+
+
+def make_scanned_steps(apply_fn, X, Y, noise_std: float = 0.0):
+    """Whole-epoch device programs over a device-resident dataset.
+
+    train_epoch(state, idx, key): idx (steps, B) int32 batch indices ->
+    (new_state, mean_loss). eval_all(params, idx) over (n_eval_batches, B)
+    -> stacked per-batch (loss, mean_abs, max_abs, mean_pct, col_diff)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(state: TrainState, idx, key):
+        def body(carry, bidx):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            x = jnp.take(X, bidx, axis=0)
+            y = jnp.take(Y, bidx, axis=0)
+            if noise_std > 0:   # dataset augmentation, on device
+                k, kn = jax.random.split(k)
+                x = x + noise_std * jax.random.normal(kn, x.shape, x.dtype)
+
+            def loss_fn(params):
+                pred = apply_fn(params, x, deterministic=False,
+                                rngs={"dropout": sub})
+                return jnp.mean((pred - y) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return (st.apply_gradients(grads=grads), k), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, key), idx)
+        return state, jnp.mean(losses)
+
+    @jax.jit
+    def eval_all(params, idx):
+        def body(_, bidx):
+            x = jnp.take(X, bidx, axis=0)
+            y = jnp.take(Y, bidx, axis=0)
+            pred = apply_fn(params, x, deterministic=True)
+            diff = jnp.abs(pred - y)
+            pct = diff / (jnp.abs(y) + 1e-8)
+            return None, (jnp.mean((pred - y) ** 2), diff.mean(), diff.max(),
+                          pct.mean(), diff.mean(axis=0))
+
+        _, out = jax.lax.scan(body, None, idx)
+        return out
+
+    return train_epoch, eval_all
 
 
 def save_checkpoint(ckpt_dir: str, name: str, params) -> str:
@@ -205,6 +257,19 @@ def train_model(
     train_step, eval_step = make_steps(model.apply)
     key = jax.random.PRNGKey(cfg.seed + 1)
 
+    scanned = None
+    if cfg.scan_epochs:
+        X = jnp.asarray(ds.inputs)
+        Y = jnp.asarray(ds.targets)
+        train_epoch_fn, eval_all_fn = make_scanned_steps(
+            model.apply, X, Y, noise_std=float(ds.noise_std or 0.0))
+        B = cfg.batch_size
+        n_ev = len(ds.eval_idx) // B
+        eval_idx_dev = (jnp.asarray(
+            np.asarray(ds.eval_idx[: n_ev * B], np.int32).reshape(n_ev, B))
+            if n_ev else None)
+        scanned = (train_epoch_fn, eval_all_fn, eval_idx_dev)
+
     start_epoch = 0
     if cfg.resume_from:
         state, start_epoch = load_train_state(cfg.resume_from, state)
@@ -217,31 +282,54 @@ def train_model(
     history = []  # (epoch, train_loss, eval_loss) for the loss-curve plot
     for epoch in range(start_epoch, cfg.epochs):
         with Timer() as t_ep:
-            losses = []
-            for i, (x, y) in enumerate(
-                ds.batches(cfg.batch_size, train=True, seed=cfg.seed + epoch)
-            ):
-                if max_steps_per_epoch and i >= max_steps_per_epoch:
-                    break
+            if scanned is not None:
+                train_epoch_fn, eval_all_fn, eval_idx_dev = scanned
+                rng = np.random.default_rng(cfg.seed + epoch)
+                perm = rng.permutation(len(ds.train_idx))
+                nb = steps_per_epoch
+                idx = np.asarray(ds.train_idx, np.int64)[
+                    perm[: nb * cfg.batch_size]].astype(np.int32)
+                idx = jnp.asarray(idx.reshape(nb, cfg.batch_size))
                 key, sub = jax.random.split(key)
-                state, loss = train_step(state, jnp.asarray(x), jnp.asarray(y), sub)
-                losses.append(float(loss))
-                if tb:
-                    tb.add_scalar("train/loss_step", float(loss), global_step)
-                global_step += 1
-        train_loss = float(np.mean(losses)) if losses else float("nan")
+                state, mean_loss = train_epoch_fn(state, idx, sub)
+                train_loss = float(mean_loss)
+                global_step += nb
+            else:
+                losses = []
+                for i, (x, y) in enumerate(
+                    ds.batches(cfg.batch_size, train=True, seed=cfg.seed + epoch)
+                ):
+                    if max_steps_per_epoch and i >= max_steps_per_epoch:
+                        break
+                    key, sub = jax.random.split(key)
+                    state, loss = train_step(state, jnp.asarray(x),
+                                             jnp.asarray(y), sub)
+                    losses.append(float(loss))
+                    if tb:
+                        tb.add_scalar("train/loss_step", float(loss), global_step)
+                    global_step += 1
+                train_loss = float(np.mean(losses)) if losses else float("nan")
 
-        ev = [eval_step(state.params, jnp.asarray(x), jnp.asarray(y))
-              for x, y in ds.batches(cfg.batch_size, train=False)]
-        if ev:
-            eval_loss = float(np.mean([float(e[0]) for e in ev]))
-            mean_abs = float(np.mean([float(e[1]) for e in ev]))
-            max_abs = float(np.max([float(e[2]) for e in ev]))
-            mean_pct = float(np.mean([float(e[3]) for e in ev]))
-            col_diff = np.mean([np.asarray(e[4]) for e in ev], axis=0)
+        if scanned is not None and scanned[2] is not None:
+            ls, ma, xa, pc, cd_ = jax.tree_util.tree_map(
+                np.asarray, scanned[1](state.params, scanned[2]))
+            eval_loss = float(ls.mean())
+            mean_abs = float(ma.mean())
+            max_abs = float(xa.max())
+            mean_pct = float(pc.mean())
+            col_diff = cd_.mean(axis=0)
         else:
-            eval_loss, mean_abs, max_abs, mean_pct = train_loss, 0.0, 0.0, 0.0
-            col_diff = np.zeros(1)
+            ev = [eval_step(state.params, jnp.asarray(x), jnp.asarray(y))
+                  for x, y in ds.batches(cfg.batch_size, train=False)]
+            if ev:
+                eval_loss = float(np.mean([float(e[0]) for e in ev]))
+                mean_abs = float(np.mean([float(e[1]) for e in ev]))
+                max_abs = float(np.max([float(e[2]) for e in ev]))
+                mean_pct = float(np.mean([float(e[3]) for e in ev]))
+                col_diff = np.mean([np.asarray(e[4]) for e in ev], axis=0)
+            else:
+                eval_loss, mean_abs, max_abs, mean_pct = train_loss, 0.0, 0.0, 0.0
+                col_diff = np.zeros(1)
 
         history.append((epoch, train_loss, eval_loss))
         log.write(kind="epoch", epoch=epoch, train_loss=train_loss,

@@ -140,3 +140,15 @@ def test_loss_curve_png(toy_dataset_dirs, tmp_path):
     import importlib.util
     if importlib.util.find_spec("matplotlib"):
         assert os.path.exists(png) and os.path.getsize(png) > 1000
+
+
+def test_train_scanned_epochs_converges(toy_dataset_dirs, tmp_path):
+    """scan_epochs=True (one device program per epoch) trains to the same
+    quality as the host-loop path on the toy linear system."""
+    sdir, adir = toy_dataset_dirs
+    cfg = TrainConfig(model_preset="cartpole_attention", lr=3e-3, epochs=14,
+                      batch_size=32, ckpt_dir=str(tmp_path / "ckpt_scan"),
+                      ckpt_every=0, eval_split=0.2, scan_epochs=True)
+    out = train_model(sdir, adir, cfg)
+    assert out["best_eval_loss"] < 0.08, out["best_eval_loss"]
+    assert os.path.exists(out["best_checkpoint"])
