@@ -8,30 +8,31 @@ but the measured flax/XLA forward sits at ~0.53 of the bf16 roofline
 (K, 49, 512) intermediate in HBM — ~40 GB of elementwise traffic per
 layer-step that the MXU has to wait on.
 
-This kernel removes that traffic entirely: the grid tiles K into blocks of
-`block_b` samples, each program holds its whole residual stream in VMEM and
-runs encode -> L x (LN -> QKV -> attention -> out-proj -> residual -> LN ->
-FFN -> residual) -> head without touching HBM in between. Per program the
-only HBM traffic is the (block_b*F, 1) input block, the (block_b,
-state_dim) output block, and the weights (fetched once — their BlockSpec
-index is grid-constant, so Pallas keeps them resident in VMEM across grid
-steps).
+This kernel removes that traffic: the grid tiles K into blocks of
+`block_b` samples, each program holds its whole residual stream in VMEM
+and runs encode -> L x (LN -> QKV -> attention -> out-proj -> residual ->
+LN -> FFN -> residual) -> head without touching HBM in between. Per
+program the only HBM traffic is the (block_b*F, 1) input block, the
+(block_b*F, 1) output column, and the weights (fetched once — their
+BlockSpec index is grid-constant, so Pallas keeps them resident in VMEM
+across grid steps).
 
-Layout notes (v5e Mosaic):
-- activations live flattened as (block_b * F, H) bf16: token-parallel
-  matmuls run at full MXU occupancy with no F=49 -> 56/64 sublane-padding
-  waste, and each row is one token so LayerNorm/bias/relu are plain row
-  ops. The caller flattens x to (B*F, 1) and the positional embedding is
-  pre-tiled to (block_b*F, H), so the encode needs no reshape at all.
-- attention reshapes q/k/v to (block_b, F, H) — a sublane SPLIT, which
-  Mosaic supports — and runs per-head (scores, softmax, weighted-V) as
-  batched dot_generals (~1% of FLOPs). The inverse MERGE reshape
-  (block_b, F, H) -> (block_b*F, H) is NOT lowerable by Mosaic (measured:
-  compiler crash), so the attention output returns to the flat layout
-  through a VMEM scratch + per-sample dynamic-slice copy loop
-  (_merge_3d_to_2d) — a pure-VMEM copy, no HBM involvement.
-- LayerNorm statistics in f32 (matching flax), matmuls in bf16 with f32
-  accumulation (preferred_element_type), softmax in f32.
+Mosaic layout (v5e) — everything is strictly 2D:
+- Activations live flattened as (block_b * F, H): each row is one token,
+  so LayerNorm / bias / relu are row ops and every projection/FFN matmul
+  is a plain 2D dot at full MXU occupancy with no F=49 sublane-padding
+  waste.
+- Attention runs as BLOCK-DIAGONAL 2D matmuls: per head, scores =
+  q2 @ k2^T over the whole (block_b*F)-row block with an additive
+  -1e9 mask on cross-sample entries, then softmax rows and P @ v2. This
+  spends block_b x the minimal score/value FLOPs — ~2*F^2*H*block_b vs
+  12*F*H^2 useful per sample-layer, i.e. +13% at block_b=8 — and buys a
+  kernel with NO 3D ops at all. The alternatives measured worse or do
+  not lower: batched dot_general compiles catastrophically slowly in
+  Mosaic (~2 min PER DOT — 16 of them wedged the compiler for 40+ min),
+  and the (bb, F, H) -> (bb*F, H) merge reshape crashes it outright.
+- LayerNorm statistics and softmax in f32 (matching flax), matmuls in
+  bf16 with f32 accumulation (preferred_element_type).
 
 Numerics match models.fast_apply.make_fast_feature_attention (same op
 order, same dtypes) — asserted in tests/test_estimator_kernel.py.
@@ -48,7 +49,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pack_params(module, params, cd, block_b):
-    """Flax param tree -> flat list of 2D/3D arrays + static meta."""
+    """Flax param tree -> flat list of 2D/3D arrays (packed eagerly at
+    build time: concrete device arrays close over later jit traces as
+    constants; packing lazily under a trace would leak tracers)."""
     p = params["params"] if "params" in params else params
     H = module.hidden_dim
 
@@ -95,12 +98,13 @@ def _pack_params(module, params, cd, block_b):
 
 def make_flash_feature_attention(module, params: Any,
                                  compute_dtype=jnp.bfloat16,
-                                 block_b: int = 128,
+                                 block_b: int = 8,
                                  interpret: bool = False):
     """Build apply(params_ignored, x, deterministic=True) -> (..., state_dim)
     with the same call contract as models.fast_apply (drop-in for
     make_learned_dynamics / EstimatorRunner). Params are packed and captured
-    at build time."""
+    at build time. `block_b` trades block-diagonal attention FLOP overhead
+    (grows ~linearly) against per-grid-step overhead (shrinks)."""
     H = module.hidden_dim
     nh = module.num_heads
     hd = H // nh
@@ -122,32 +126,24 @@ def make_flash_feature_attention(module, params: Any,
     def mm(a, b):
         return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(cd)
 
-    def kernel(x_ref, enc_ref, pos_ref, *rest):
-        # rest = 5 refs per layer, out_ref, then 2 scratch refs
+    def kernel_body(block, x_ref, enc_ref, pos_ref, *rest):
         layer_refs, out_ref = rest[:5 * L], rest[5 * L]
-        a3_s, a2_s = rest[5 * L + 1], rest[5 * L + 2]
-        bb = out_ref.shape[0]
+        R = block * F                                  # rows in this block
         w_enc = enc_ref[0, :]
         b_enc = enc_ref[1, :]
         ln0_s = enc_ref[2, :]
         ln0_b = enc_ref[3, :]
         w_head = enc_ref[4, :]
 
+        # cross-sample mask: row i may attend row j iff same sample
+        sample_r = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0) // F
+        sample_c = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1) // F
+        neg = jnp.where(sample_r == sample_c, 0.0, -1e9).astype(jnp.float32)
+
         # token encode: Linear(1,H) is a broadcast multiply over flat rows
-        h2 = x_ref[:].astype(cd) * w_enc + b_enc      # (bb*F, H)
+        h2 = x_ref[:].astype(cd) * w_enc + b_enc      # (R, H)
         h2 = layer_norm2(h2, ln0_s, ln0_b)
         h2 = jnp.maximum(h2, 0) + pos_ref[:]
-
-        def merge_3d_to_2d(val3):
-            # Mosaic cannot lower the (bb, F, H) -> (bb*F, H) sublane merge
-            # as a reshape (F=49 is not a sublane-tile multiple); stage the
-            # value in VMEM scratch and copy per sample — pure VMEM traffic.
-            a3_s[:] = val3
-            def body(i, _):
-                a2_s[pl.ds(i * F, F), :] = a3_s[i]
-                return 0
-            jax.lax.fori_loop(0, bb, body, 0, unroll=False)
-            return a2_s[:]
 
         for li in range(L):
             vecs, wqkvo, w1, b1, w2 = layer_refs[5 * li: 5 * li + 5]
@@ -157,39 +153,35 @@ def make_flash_feature_attention(module, params: Any,
             b2 = vecs[8, :]
 
             y2 = layer_norm2(h2, ln1_s, ln1_b)
-            q3 = (mm(y2, wqkvo[0]) + bq).reshape(bb, F, H)
-            k3 = (mm(y2, wqkvo[1]) + bk_).reshape(bb, F, H)
-            v3 = (mm(y2, wqkvo[2]) + bv).reshape(bb, F, H)
+            q2 = mm(y2, wqkvo[0]) + bq
+            k2 = mm(y2, wqkvo[1]) + bk_
+            v2 = mm(y2, wqkvo[2]) + bv
 
             heads = []
             for hi in range(nh):
                 sl = slice(hi * hd, (hi + 1) * hd)
                 s = jax.lax.dot_general(
-                    q3[:, :, sl], k3[:, :, sl],
-                    (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32) * inv_sqrt_hd
-                # softmax over the key axis, f32 (flax parity)
+                    q2[:, sl], k2[:, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = s * inv_sqrt_hd + neg
+                # softmax over the (masked) key axis, f32 (flax parity)
                 s = s - jnp.max(s, axis=-1, keepdims=True)
                 e = jnp.exp(s)
                 w = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cd)
-                heads.append(jax.lax.dot_general(
-                    w, v3[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32).astype(cd))
-            a2 = merge_3d_to_2d(jnp.concatenate(heads, axis=-1))
+                heads.append(mm(w, v2[:, sl]))
+            a2 = jnp.concatenate(heads, axis=-1)       # (R, H)
 
             h2 = h2 + mm(a2, wqkvo[3]) + bo
             y2 = layer_norm2(h2, ln2_s, ln2_b)
             f = jnp.maximum(mm(y2, w1[:]) + b1[0, :], 0)
             h2 = h2 + mm(f, w2[:]) + b2
 
-        # per-token scalar head: h . w_out + b_out, truncated to state_dim
-        out3 = jnp.sum((h2 * w_head).astype(jnp.float32).reshape(bb, F, H),
-                       axis=-1) + b_out                # (bb, F) f32
-        out_ref[:] = out3[:, :Sd]
+        # per-token scalar head: h . w_out + b_out as a column; the wrapper
+        # reshapes (B*F, 1) -> (B, F) outside (XLA) and truncates to Sd
+        out_ref[:] = (jnp.sum((h2 * w_head).astype(jnp.float32), axis=-1,
+                              keepdims=True) + b_out)
 
-    # packed EAGERLY at build time (concrete device arrays): inside a later
-    # jit/eval_shape trace they close over as constants — packing lazily
-    # under a trace would leak tracers into any cached callable
+    # packed EAGERLY at build time
     flat_full = _pack_params(module, params, cd, block_b)
 
     def forward_2d(x2):
@@ -201,11 +193,10 @@ def make_flash_feature_attention(module, params: Any,
         Bp = B + pad
         xflat = x2.reshape(Bp * F, 1)
         grid = (Bp // block,)
-        # pos_tiled is the only block-size-dependent operand: slice the
-        # block_b-sized tile down (block <= block_b always)
-        flat_params = [flat_full[0], flat_full[1][: block * F]] + flat_full[2:]
+        R = block * F
+        flat_params = [flat_full[0], flat_full[1][:R]] + flat_full[2:]
         const = lambda nd: (lambda b: (0,) * nd)
-        in_specs = [pl.BlockSpec((block * F, 1), lambda b: (b, 0))]
+        in_specs = [pl.BlockSpec((R, 1), lambda b: (b, 0))]
         for arr in flat_params:
             in_specs.append(pl.BlockSpec(arr.shape, const(arr.ndim)))
         compiler_params = None
@@ -214,19 +205,17 @@ def make_flash_feature_attention(module, params: Any,
                 dimension_semantics=("parallel",),
                 vmem_limit_bytes=120 * 1024 * 1024,
             )
+        kern = lambda *refs: kernel_body(block, *refs)
         out = pl.pallas_call(
-            kernel,
+            kern,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((block, Sd), lambda b: (b, 0)),
-            out_shape=jax.ShapeDtypeStruct((Bp, Sd), jnp.float32),
-            scratch_shapes=[
-                pltpu.VMEM((block, F, H), cd),
-                pltpu.VMEM((block * F, H), cd),
-            ],
+            out_specs=pl.BlockSpec((R, 1), lambda b: (b, 0)),
+            out_shape=jax.ShapeDtypeStruct((Bp * F, 1), jnp.float32),
             compiler_params=compiler_params,
             interpret=interpret,
         )(xflat, *flat_params)
+        out = out.reshape(Bp, F)[:, :Sd]
         return out[:B] if pad else out
 
     def apply(_params, x, deterministic: bool = True):

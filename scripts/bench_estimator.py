@@ -35,7 +35,10 @@ def main():
     ap.add_argument("--k", type=int, nargs="+", default=[16384])
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--paths", nargs="+", default=["fast", "flax"])
+    ap.add_argument("--paths", nargs="+", default=["fast", "flax"],
+                    help="flax | fast (restructured XLA) | flash "
+                         "(fused Pallas kernel, ops/estimator_kernel)")
+    ap.add_argument("--block-b", type=int, default=8)
     ap.add_argument("--dtype", default="bfloat16")
     args = ap.parse_args()
 
@@ -68,10 +71,18 @@ def main():
                          sigma=0.5, update_mode="replace")
         fl = flops_per_replan(net, K, args.horizon, F)
         for path in args.paths:
-            apply_fn = (make_fast_feature_attention(net, params, cd)
-                        if path == "fast" else net.apply)
+            if path == "flash":
+                from humanoid_mppi_rl_tpu.ops.estimator_kernel import (
+                    make_flash_feature_attention)
+                apply_fn = make_flash_feature_attention(
+                    net, params, cd, block_b=args.block_b)
+            elif path == "fast":
+                apply_fn = make_fast_feature_attention(net, params, cd)
+            else:
+                apply_fn = net.apply
             dyn = make_learned_dynamics(apply_fn, params)
-            plan = jax.jit(make_mppi(dyn, running, cfg))
+            plan = jax.jit(make_mppi(dyn, running, cfg,
+                                     batched_dynamics=(path == "flash")))
             ms = MPPIState.seeded(0, cfg.T, net.action_dim)
             t0 = time.perf_counter()
             a, ms, _ = plan(ms, x0)
