@@ -36,6 +36,7 @@ from ..solver.mppi import (
     MPPIState,
     _clip_ctrl,
     rollout_costs,
+    rollout_costs_batched,
     shift_plan,
 )
 
@@ -186,15 +187,20 @@ def make_sharded_mppi(
     mesh: Mesh,
     terminal_fn: Optional[Callable] = None,
     axis: str = "k",
+    batched_dynamics: bool = False,
 ):
     """Sharded analog of solver.mppi.make_mppi: same semantics, K sharded
-    over `mesh`. K must divide evenly by the axis size."""
+    over `mesh`. K must divide evenly by the axis size. `batched_dynamics`
+    routes each shard's rollouts through rollout_costs_batched (the whole
+    local K batch per dynamics call — Pallas-kernel surrogates, see
+    solver.mppi.make_mppi)."""
     n_shards = mesh.shape[axis]
     if cfg.K % n_shards:
         raise ValueError(f"K={cfg.K} not divisible by mesh axis size {n_shards}")
     k_local = cfg.K // n_shards
     local_cfg = dataclasses.replace(cfg, n_samples=k_local)
     update_op = sharded_update_op(mesh, cfg, axis)
+    rollout = rollout_costs_batched if batched_dynamics else rollout_costs
 
     @partial(
         shard_map,
@@ -209,8 +215,8 @@ def make_sharded_mppi(
         sigma = jnp.asarray(cfg.sigma, dtype=U.dtype)
         noise = sigma * jax.random.normal(key, (k_local, cfg.T, U.shape[-1]),
                                           dtype=U.dtype)
-        costs = rollout_costs(dynamics_fn, cost_fn, terminal_fn, local_cfg,
-                              dyn_state, U, noise)
+        costs = rollout(dynamics_fn, cost_fn, terminal_fn, local_cfg,
+                        dyn_state, U, noise)
         update, (w, beta) = update_op(costs, noise)
         mean_cost = jax.lax.pmean(jnp.mean(costs), axis)
         ess = 1.0 / jax.lax.psum(jnp.sum(w * w), axis)
