@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--estimator-steps", type=int, default=100)
     ap.add_argument("--estimator-k", type=int, default=2048)
+    ap.add_argument("--flash", action="store_true",
+                    help="plan estimator rollouts through the fused Pallas "
+                         "forward (ops/estimator_kernel)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--shard-index", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=1)
@@ -157,8 +160,15 @@ def main():
             return jnp.concatenate([
                 plant.qpos, plant.xpos[id_l, 2][None], plant.xpos[id_r, 2][None]])
 
-        est = EstimatorRunner(spec.asset_path(), net.apply, params, cfg,
-                              running, terminal, state_fn=state_fn)
+        if args.flash:
+            from humanoid_mppi_rl_tpu.ops.estimator_kernel import (
+                make_flash_feature_attention)
+            apply_fn = make_flash_feature_attention(net, params)
+        else:
+            apply_fn = net.apply
+        est = EstimatorRunner(spec.asset_path(), apply_fn, params, cfg,
+                              running, terminal, state_fn=state_fn,
+                              batched_dynamics=args.flash)
         t0 = time.time()
         log = est.run(n_steps=args.estimator_steps, seed=args.seed)
         wall = time.time() - t0
