@@ -38,7 +38,7 @@ from flax import struct
 
 from . import spatial as sp
 from .contact import contact_terms
-from .model import FREE, HINGE, SLIDE, PhysicsModel
+from .model import BALL, FREE, HINGE, SLIDE, PhysicsModel
 
 
 @struct.dataclass
@@ -104,6 +104,27 @@ def _fk(model: PhysicsModel, qpos: jax.Array) -> Tuple[jax.Array, jax.Array, jax
                 q = sp.quat_normalize(qpos[st.qposadr[:, None] + 3 + np.arange(4)])
                 pos = pos.at[rows].set(p)
                 quat = quat.at[rows].set(q)
+            elif st.jtype == BALL:
+                # quaternion rotation about the joint anchor (mj_kinematics
+                # ball semantics); S rows like the free joint's rotational
+                # block — columns of the post-joint rotation (body-local
+                # angular velocity), anchored at the joint anchor
+                q4 = sp.quat_normalize(
+                    qpos[st.qposadr[:, None] + np.arange(4)])
+                qr = quat[rows]
+                pr = pos[rows]
+                jpos = jnp.asarray(st.jpos, dtype)
+                anchor = pr + sp.quat_rotate(qr, jpos)
+                qnew = sp.quat_mul(qr, q4)
+                pnew = anchor - sp.quat_rotate(qnew, jpos)
+                quat = quat.at[rows].set(qnew)
+                pos = pos.at[rows].set(pnew)
+                R = sp.quat_to_mat(qnew)                  # (n, 3, 3)
+                drows = st.dofadr[:, None] + np.arange(3)
+                jaxis_w = jaxis_w.at[jnp.asarray(drows)].set(
+                    jnp.swapaxes(R, -1, -2))              # rows = R columns
+                janchor_w = janchor_w.at[jnp.asarray(drows)].set(
+                    jnp.broadcast_to(anchor[:, None, :], anchor.shape[:1] + (3, 3)))
             elif st.jtype == SLIDE:
                 qv = qpos[jnp.asarray(st.qposadr)] - jnp.asarray(st.ref, dtype)
                 a_w = sp.quat_rotate(quat[rows], jnp.asarray(st.axis, dtype))
@@ -499,6 +520,13 @@ def _integrate_qpos(model: PhysicsModel, qpos: jax.Array, qvel: jax.Array,
         out = out.at[qa + 3 : qa + 7].set(
             sp.quat_integrate(quat, w_local, jnp.asarray(h, qpos.dtype))
         )
+    for jnt in model.joints:
+        if jnt.jtype != BALL:
+            continue
+        qa, da = jnt.qposadr, jnt.dofadr
+        out = out.at[qa : qa + 4].set(
+            sp.quat_integrate(qpos[qa : qa + 4], qvel[da : da + 3],
+                              jnp.asarray(h, qpos.dtype)))
     return out
 
 

@@ -311,8 +311,16 @@ def build_from_mjcf(
     for j in range(m.njnt):
         jt = int(m.jnt_type[j])
         if jt == BALL:
-            raise NotImplementedError("ball joints not supported")
-        ndof = {FREE: 6, SLIDE: 1, HINGE: 1}[jt]
+            # supported: FK (quaternion about the anchor), local-expmap
+            # integration, mass/bias via the generic spatial machinery.
+            # Guarded out: ball springs (act on the quaternion) and ball
+            # rotation-angle limits — no task model uses either.
+            if float(m.jnt_stiffness[j]) != 0.0:
+                raise NotImplementedError("ball-joint springs not supported")
+            if bool(m.jnt_limited[j]):
+                raise NotImplementedError(
+                    "ball-joint rotation limits not supported")
+        ndof = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}[jt]
         joints.append(
             Joint(
                 jtype=jt,
@@ -357,6 +365,11 @@ def build_from_mjcf(
                 sdot_zero[jnt.dofadr + i] = 1.0
             for i in range(3, 6):
                 pred_mask[jnt.dofadr + i] = ancestor_mask[b]
+        elif jnt.jtype == BALL:
+            # like the free joint's rotational block: S rows are columns of
+            # the post-joint rotation, carried by the full body velocity
+            for i in range(3):
+                pred_mask[jnt.dofadr + i] = ancestor_mask[b]
         else:
             row = strict_anc.copy()
             for other in body_joints[b]:
@@ -373,6 +386,10 @@ def build_from_mjcf(
         if trntype != int(mujoco.mjtTrn.mjTRN_JOINT):
             raise NotImplementedError("only joint-transmission actuators supported")
         jid = int(m.actuator_trnid[a, 0])
+        if int(m.jnt_type[jid]) in (FREE, BALL):
+            raise NotImplementedError(
+                "actuators on free/ball joints not supported (the single-dof "
+                "gain/bias model below would silently actuate one dof)")
         actuators.append(
             Actuator(
                 dofadr=int(m.jnt_dofadr[jid]),
@@ -566,7 +583,7 @@ def build_from_mjcf(
         max_slots = max(len(body_joints[b]) for b in bids)
         stages: List[FKStage] = []
         for slot in range(max_slots):
-            for jt in (FREE, SLIDE, HINGE):
+            for jt in (FREE, BALL, SLIDE, HINGE):
                 rows, qadr, dadr, ax, jp, ref = [], [], [], [], [], []
                 for r, b in enumerate(bids):
                     if slot >= len(body_joints[b]):
@@ -606,6 +623,11 @@ def build_from_mjcf(
             dof_type_hinge[jnt.dofadr] = 1.0
         elif jnt.jtype == SLIDE:
             dof_type_slide[jnt.dofadr] = 1.0
+        elif jnt.jtype == BALL:
+            # quaternion-integrated rotational dofs, same S semantics as the
+            # free joint's rotational block
+            for i in range(3):
+                dof_type_freer[jnt.dofadr + i] = 1.0
         elif jnt.jtype == FREE:
             for i in range(3):
                 dof_type_freet[jnt.dofadr + i] = 1.0

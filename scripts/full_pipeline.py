@@ -106,8 +106,10 @@ def main():
             plot_path=os.path.join(out, "loss_curve.png"),
             log_path=os.path.join(out, "train_metrics.jsonl"))
         t0 = time.time()
-        res = train_model(os.path.join(data_dir, "states"),
-                          os.path.join(data_dir, "actions"), cfg)
+        # reference humanoid-v2 layout: data/{states,actions}_ft/ (the
+        # goal-gated collector's save_split_dirs)
+        res = train_model(os.path.join(data_dir, "states_ft"),
+                          os.path.join(data_dir, "actions_ft"), cfg)
         wall = time.time() - t0
         n_steps = args.epochs * max(1, res["n_pairs"] // cfg.batch_size)
         summary["train"] = {

@@ -1,0 +1,42 @@
+"""End-to-end hopper demonstration (round-2 VERDICT weak-7).
+
+The committed artifact is produced by scripts/dev_hopper.py on real TPU
+hardware (kernel planner at K>=4096, coupled-tier plant). This test
+re-scores the committed trajectory with the same metrics and asserts the
+robot actually HOPS: forward progress, recurring flight phases, upright
+torso. An absent artifact fails loudly — the demonstration is part of the
+repo's claims, not an optional extra.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                   "hopper_k4096.npz")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def test_hopper_artifact_hops():
+    from dev_hopper import hop_metrics
+
+    assert os.path.exists(ART), "committed hopper artifact missing"
+    data = np.load(ART)
+    rows, times = data["states"], data["times"]
+    assert rows.shape[1] == 15          # qpos(7) + qvel(7) + foot_z
+    m = hop_metrics(rows, times)
+    assert m["nan_step"] is None, m
+    assert m["steps"] >= 400, m                    # survived the episode
+    assert m["x_progress_m"] > 1.0, m              # moved forward >1 m
+    assert m["hops"] >= 3, m                       # recurring flight phases
+    assert m["torso_z_min"] > 0.45, m              # never collapsed
+    assert m["flight_frac"] > 0.05, m
+
+
+def test_hopper_artifact_actions_bounded():
+    data = np.load(ART)
+    acts = data["actions"]
+    assert acts.shape[1] == 4
+    assert np.isfinite(acts).all()
+    assert np.abs(acts).max() <= 1.0 + 1e-6        # motor ctrlrange +-1

@@ -203,3 +203,92 @@ def test_solver_tiers_agree_free_flight():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(a.qvel), np.asarray(b.qvel),
                                atol=1e-10)
+
+
+BALL_CHAIN_XML = """
+<mujoco model="ball_chain">
+  <option timestep="0.002" gravity="0 0 -9.81"/>
+  <worldbody>
+    <body name="base" pos="0 0 2">
+      <joint name="root" type="free"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" density="800"/>
+      <body name="link1" pos="0.3 0 0">
+        <joint name="b1" type="ball" pos="0 0 0" damping="0.02" armature="0.01"/>
+        <geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.035" density="700"/>
+        <body name="link2" pos="0.25 0 0">
+          <joint name="b2" type="ball" pos="0 0 0" damping="0.02"/>
+          <geom type="capsule" fromto="0 0 0 0.2 0.05 -0.05" size="0.03"/>
+          <body name="tip" pos="0.2 0.05 -0.05">
+            <joint name="h1" type="hinge" axis="0 1 0" damping="0.01"/>
+            <geom type="sphere" size="0.05" density="500"/>
+          </body>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _ball_state(m, seed=0):
+    rng = np.random.default_rng(seed)
+    qpos = m.qpos0.copy()
+    d = mujoco.MjData(m)
+    for j in range(m.njnt):
+        jt, adr = int(m.jnt_type[j]), int(m.jnt_qposadr[j])
+        if jt == 0:       # free
+            qpos[adr:adr + 3] += rng.normal(0, 0.2, 3)
+            q = rng.normal(size=4)
+            qpos[adr + 3:adr + 7] = q / np.linalg.norm(q)
+        elif jt == 1:     # ball
+            q = rng.normal(size=4)
+            qpos[adr:adr + 4] = q / np.linalg.norm(q)
+        else:
+            qpos[adr] += rng.normal(0, 0.3)
+    qvel = rng.normal(0, 0.6, m.nv)
+    return qpos, qvel
+
+
+def test_ball_joint_kinematics_parity():
+    """FK (xpos/xquat) of a free+ball+ball+hinge chain vs mj_kinematics."""
+    m = mujoco.MjModel.from_xml_string(BALL_CHAIN_XML)
+    pm = build_from_mjcf(xml=BALL_CHAIN_XML)
+    d = mujoco.MjData(m)
+    qpos, qvel = _ball_state(m, 3)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    mujoco.mj_forward(m, d)
+    st = forward(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+    np.testing.assert_allclose(np.asarray(st.xpos), d.xpos, atol=1e-12)
+    ours = np.asarray(st.xquat)
+    qd = np.minimum(np.abs(ours - d.xquat).max(axis=-1),
+                    np.abs(ours + d.xquat).max(axis=-1))  # q == -q
+    np.testing.assert_allclose(qd, 0, atol=1e-10)
+
+
+def test_ball_joint_step_parity():
+    """5 smooth steps of the ball chain match mj_step to near machine
+    precision (mass matrix, bias, implicit joint damping, expmap
+    integration all exercised through the ball dofs)."""
+    m = mujoco.MjModel.from_xml_string(BALL_CHAIN_XML)
+    pm = build_from_mjcf(xml=BALL_CHAIN_XML)
+    d = mujoco.MjData(m)
+    qpos, qvel = _ball_state(m, 11)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+    st = forward(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+    for _ in range(5):
+        mujoco.mj_step(m, d)
+        st = step(pm, st, jnp.zeros(pm.nu))
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-10)
+
+
+def test_ball_joint_guards():
+    """Unsupported ball features fail loudly, not silently."""
+    limited = BALL_CHAIN_XML.replace(
+        '<joint name="b2" type="ball" pos="0 0 0" damping="0.02"/>',
+        '<joint name="b2" type="ball" pos="0 0 0" limited="true" '
+        'range="0 60"/>')
+    with pytest.raises(NotImplementedError, match="rotation limits"):
+        build_from_mjcf(xml=limited)
