@@ -1,0 +1,54 @@
+"""Multi-seed humanoid walking evidence (round-2 VERDICT weak-8).
+
+artifacts/walk_seeds/ is produced on real TPU hardware by
+scripts/dev_seed_evidence.py: one trajectory npz per seed of the baked
+humanoid_walk preset plus summary.json. This test re-scores every
+committed seed trajectory with the gait metrics and asserts the README's
+multi-seed claim directly from the data.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts", "walk_seeds")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+
+def _summary():
+    path = os.path.join(DIR, "summary.json")
+    if not os.path.exists(path):
+        pytest.skip("walk_seeds artifacts not yet committed (produced on "
+                    "TPU by scripts/dev_seed_evidence.py)")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_all_seeds_complete_upright():
+    s = _summary()
+    runs = s["runs"]
+    assert len(runs) >= 6
+    for r in runs:
+        assert not r["fell"], r
+        assert r["steps"] == s["header"]["steps"], r
+    assert s["header"]["upright_full_run"] == len(runs)
+
+
+def test_seed_trajectories_rescore():
+    """Every per-seed npz re-scores to a walking gait: forward progress,
+    stable torso height, alternating foot switches."""
+    from dev_gait import gait_metrics
+
+    s = _summary()
+    for r in s["runs"]:
+        data = np.load(os.path.join(DIR, f"seed{r['seed']}.npz"))
+        m = gait_metrics(data["states"], data["times"])
+        assert m["nan_step"] is None, (r["seed"], m)
+        assert m["x_progress_m"] > 0.5, (r["seed"], m)
+        assert m["torso_z_min"] > 0.9, (r["seed"], m)
+        assert m["foot_switches"] >= 2, (r["seed"], m)
+        # committed summary matches a fresh re-score
+        assert abs(m["x_progress_m"] - r["x_progress_m"]) < 1e-6
