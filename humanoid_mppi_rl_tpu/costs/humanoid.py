@@ -30,12 +30,12 @@ from .base import body_com_linvel, quat_rpy
 # and never actually optimized, SURVEY.md §3.1) and posture dominates the
 # goal-distance drive. Sampling noise sigma = 0.5*exp(-0.35) ~= 0.352 is part
 # of the preset (see the humanoid_walk task; sigma=0.5 falls within 1.5 s).
-# Measured at K=8192, H=64 on one v5e chip: the winning sweep run walked the
-# full 6 s (1200 steps) without falling at ~0.47 m/s with a ~1.2 s stride.
-# The preset is chaos-sensitive: across 3 seeds of the baked-weights task,
-# one completed a 3 s run upright and the others fell at 1.8-2.0 s — still
-# strictly better than the reference v3 weights, which fell by ~1.35 s on
-# every setting of the sweep.
+# Measured at K=8192, H=64 on one v5e chip (committed evidence:
+# artifacts/walk_seeds/{seed0..5}.npz + summary.json, re-scored by
+# tests/test_walk_seeds.py): with the restitution cap and the baked
+# combo_slowgoal weights, 6/6 seeds complete the full 3 s run upright at
+# 0.29-0.47 m/s with 0.85-1.42 m forward progress. The reference v3
+# weights fell by ~1.35 s on every setting of the sweep.
 WEIGHTS_V3 = dict(w_orient=5.0, w_goal_xy=12.5, w_height=5.0,
                   w_swing_x=8.0, w_swing_vel=0.15, w_knee_x=3.0,
                   w_clearance=2.0)
