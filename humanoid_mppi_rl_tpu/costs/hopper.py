@@ -8,14 +8,16 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def make_costs(model, target_vel_x=1.0, target_height=1.0):
+def make_costs(model, target_vel_x=1.0, target_height=1.0,
+               w_pitch=4.0, w_pitch_rate=0.3):
     def running(state, u, t):
         qpos, qvel = state.qpos, state.qvel
         # planar root: qpos = [rootx, rootz, rooty, waist, hip, knee, ankle]
         cost = 2.0 * (qvel[0] - target_vel_x) ** 2
-        cost += 5.0 * jnp.maximum(target_height - 0.4 - qpos[1] - 1.0, 0.0) ** 2
-        cost += 1.0 * qpos[2] ** 2            # torso pitch
-        cost += 0.1 * qvel[2] ** 2
+        # keep the torso above ~0.7 m absolute (z = 1 + rootz offset)
+        cost += 5.0 * jnp.maximum(target_height - 0.3 - qpos[1] - 1.0, 0.0) ** 2
+        cost += w_pitch * qpos[2] ** 2        # torso pitch
+        cost += w_pitch_rate * qvel[2] ** 2
         cost += 0.01 * jnp.sum(u**2)
         return cost
 

@@ -348,14 +348,15 @@ def quadruped_jl(model: PhysicsModel, target_vel_x=0.5):
     return running, terminal
 
 
-def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0):
+def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0,
+           w_pitch=4.0, w_pitch_rate=0.3):
     """see costs/hopper.py (new task)."""
 
     def running(ctx: StepContext, t):
         q, v, u = ctx.qpos, ctx.qvel, ctx.ctrl
         cost = 2.0 * (v[0] - target_vel_x) ** 2
-        cost = cost + 5.0 * jnp.maximum(target_height - 0.4 - q[1] - 1.0, 0.0) ** 2
-        cost = cost + 1.0 * q[2] ** 2 + 0.1 * v[2] ** 2
+        cost = cost + 5.0 * jnp.maximum(target_height - 0.3 - q[1] - 1.0, 0.0) ** 2
+        cost = cost + w_pitch * q[2] ** 2 + w_pitch_rate * v[2] ** 2
         cost = cost + 0.01 * _sumsq(u)
         return cost
 

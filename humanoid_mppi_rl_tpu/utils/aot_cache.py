@@ -64,6 +64,39 @@ def file_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+_registered = False
+
+
+def _register_pytree_serialization():
+    """jax.export refuses custom pytree node types unless they are
+    registered for serialization; register every struct that crosses an
+    exported function boundary (plan signature: (MPPIState, PhysicsState /
+    GaitFDState) -> (action, MPPIState, MPPIDiagnostics)). Aux data is
+    pickled verbatim (it is () for these flax structs)."""
+    global _registered
+    if _registered:
+        return
+    import pickle
+
+    import jax
+
+    from ..costs.humanoid import GaitFDState
+    from ..physics.engine import PhysicsState
+    from ..solver.mppi import MPPIDiagnostics, MPPIState
+
+    for cls in (MPPIState, MPPIDiagnostics, PhysicsState, GaitFDState):
+        try:
+            jax.export.register_pytree_node_serialization(
+                cls,
+                serialized_name=f"humanoid_mppi_rl_tpu::{cls.__name__}",
+                serialize_auxdata=pickle.dumps,
+                deserialize_auxdata=pickle.loads,
+            )
+        except Exception:
+            pass  # already registered (idempotent across aot_cached calls)
+    _registered = True
+
+
 def aot_cached(fn, key: str, *example_args, enabled: bool | None = None):
     """jit(fn), with the traced+lowered artifact persisted under `key`.
 
@@ -75,6 +108,7 @@ def aot_cached(fn, key: str, *example_args, enabled: bool | None = None):
         enabled = os.environ.get("HUMANOID_MPPI_NO_CACHE") != "1"
     if not enabled:
         return jax.jit(fn)
+    _register_pytree_serialization()
 
     path = os.path.join(_cache_dir(), key + ".jaxexport")
     if os.path.exists(path):

@@ -75,6 +75,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=100)
     ap.add_argument("--block-k", type=int, default=1024)
     ap.add_argument("--target-vel", type=float, default=None)
+    ap.add_argument("--sigma", type=float, default=None)
     ap.add_argument("--save", default="")
     args = ap.parse_args()
 
@@ -87,10 +88,13 @@ def main():
 
     cost_kw = ({"target_vel_x": args.target_vel}
                if args.target_vel is not None else None)
+    mppi_kw = {"n_samples": args.k, "horizon": args.horizon}
+    if args.sigma is not None:
+        mppi_kw["sigma"] = args.sigma
     runner = EpisodeRunner(
         "hopper", use_kernel=True, block_k=args.block_k,
         cost_kwargs_override=cost_kw,
-        mppi_override={"n_samples": args.k, "horizon": args.horizon},
+        mppi_override=mppi_kw,
     )
     foot = runner.model.body_id("foot")
 
