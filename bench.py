@@ -50,21 +50,23 @@ def main():
                   and spec.kernel_cost is not None)
     ms = MPPIState.seeded(0, cfg.T, model.nu)
 
-    # AOT trace cache: the mega-kernel costs ~115-168 s to TRACE on the
-    # 2-core host even with the XLA compile cache warm (BENCH_r02); the
-    # serialized export restores it without tracing (utils/aot_cache.py)
-    from humanoid_mppi_rl_tpu.utils.aot_cache import aot_cached, make_key
-
+    # NOTE: the jax.export AOT trace cache (utils/aot_cache.py) is
+    # deliberately NOT used here. It does eliminate the ~100-170 s warm
+    # trace, but the round-trip costs runtime performance: the restored
+    # exported.call measured 102 ms/replan vs 4.2 ms for the directly
+    # jitted kernel on the same chip (24x — the deserialized StableHLO
+    # recompiles without the donation/layout structure of the original
+    # trace). Benchmarked paths take the trace hit and keep the 4 ms
+    # replan; see PERF.md "warm-start anatomy".
     if use_kernel:
         fn = make_kernel_mppi(
             model, KERNEL_COSTS[spec.kernel_cost], cfg,
             cost_kwargs=spec.cost_kwargs, block_k=min(1024, K))
     else:
         fn = make_mppi(dynamics, running, cfg, terminal_fn=terminal)
-    key = make_key(entry="bench", task=task, K=K, H=H, kernel=use_kernel,
-                   block_k=min(1024, K), cfg=cfg,
-                   cost_kwargs=spec.cost_kwargs)
-    plan = aot_cached(fn, key, ms, init_state)
+    import jax
+
+    plan = jax.jit(fn)
 
     t0 = time.perf_counter()
     action, ms, diag = plan(ms, init_state)

@@ -22,6 +22,14 @@ Usage:
 
 Falls back to plain jax.jit on any export/deserialize failure (the cache
 is an optimization, never a correctness dependency).
+
+PERFORMANCE CAVEAT (measured, r3): restoring through jax.export costs
+steady-state throughput on the TPU backend — the mega-kernel replan ran
+at 102 ms via exported.call vs 4.2 ms directly jitted (the deserialized
+module recompiles without the original trace's donation/layout
+structure). Use this cache for cold-start latency of NON-hot-path
+tooling only; benchmarked/production paths should pay the trace
+(bench.py does).
 """
 
 from __future__ import annotations
