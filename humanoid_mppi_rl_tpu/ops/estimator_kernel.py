@@ -186,7 +186,11 @@ def make_flash_feature_attention(module, params: Any,
 
     def forward_2d(x2):
         B = x2.shape[0]
-        block = min(block_b, B)
+        # Pallas requires block row counts divisible by 8: block*F % 8 == 0.
+        # For odd F that means block must be a multiple of 8 — never shrink
+        # below block_b for small batches (B < block just pads up; measured
+        # block_b=4 fails lowering outright at F=49 with 196-row blocks)
+        block = block_b
         pad = (-B) % block
         if pad:
             x2 = jnp.pad(x2, ((0, pad), (0, 0)))
