@@ -25,6 +25,12 @@ def _summary():
         return json.load(f)
 
 
+def _jsonl_episodes():
+    with open(os.path.join(DIR, "collect_metrics.jsonl")) as f:
+        events = [json.loads(line) for line in f]
+    return [e for e in events if e.get("kind") == "episode"]
+
+
 def test_collect_summary_matches_metrics():
     s = _summary()["collect"]
     assert s["episodes_attempted"] == 80
@@ -43,6 +49,43 @@ def test_collect_summary_matches_metrics():
                 lat.append(d["replan_ms"])
     assert len(lat) > 1000
     assert np.median(lat) < 8.0, np.median(lat)   # ~5 ms/control step
+
+
+def test_aggregate_accounts_for_all_invocations():
+    """round-3 VERDICT weak-4: the training set accumulated over multiple
+    collection invocations; the aggregate block must reconcile the JSONL's
+    full record with the headline claim (56 episodes saved)."""
+    agg = _summary()["collect"].get("aggregate")
+    assert agg is not None, "run scripts/reconcile_pipeline.py"
+    eps = _jsonl_episodes()
+    assert agg["episodes_attempted"] == len(eps)
+    assert agg["episodes_goal"] == sum(1 for e in eps if e["goal"])
+    assert agg["control_steps"] == sum(e["steps"] for e in eps)
+    assert agg["episodes_goal"] == 56
+    # the single-invocation block is a subset of the aggregate
+    s = _summary()["collect"]
+    assert s["episodes_attempted"] <= agg["episodes_attempted"]
+    assert s["episodes_goal"] <= agg["episodes_goal"]
+
+
+def test_every_saved_episode_traced():
+    """Every episode CSV on disk maps to exactly one goal-reached episode
+    line in the metrics JSONL (timestamped within 5 s, row count equal to
+    the logged step count) — re-derived here, not trusted from summary."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from scripts.reconcile_pipeline import trace_episodes
+    sdir = os.path.join(DIR, "data", "states_ft")
+    if not os.path.isdir(sdir):
+        pytest.skip("full data dir not on disk (sample-only checkout)")
+    _summary()  # skip when artifacts absent
+    episodes, goal_eps, traced = trace_episodes(DIR)
+    assert len(traced) == 56
+    assert all(t.get("rows_match") for t in traced), [
+        t for t in traced if not t.get("rows_match")][:3]
+    # aggregate block agrees with the fresh trace
+    agg = _summary()["collect"]["aggregate"]
+    assert agg["saved_files_traced"] == len(traced)
 
 
 def test_train_summary_claims():
