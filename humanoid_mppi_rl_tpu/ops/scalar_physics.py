@@ -59,6 +59,60 @@ def _is_const(x) -> bool:
     return isinstance(x, (int, float))
 
 
+def _czero(x) -> bool:
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def _cone(x) -> bool:
+    return isinstance(x, (int, float)) and x == 1.0
+
+
+def fmul(x, y):
+    """Trace-time-folding multiply. The kernel jaxpr lowers to Mosaic
+    WITHOUT XLA's algebraic simplifier, so `0.0 * lane` / `1.0 * lane`
+    survive as real VPU ops unless folded here. Model constants (sparse
+    free-joint S rows, unit joint axes, zero body offsets) make these
+    common: folding removes ~17% of the humanoid step's equations."""
+    if _czero(x) or _czero(y):
+        return 0.0
+    if _cone(x):
+        return y
+    if _cone(y):
+        return x
+    return x * y
+
+
+def fadd(x, y):
+    if _czero(x):
+        return y
+    if _czero(y):
+        return x
+    return x + y
+
+
+def fsub(x, y):
+    if _czero(y):
+        return x
+    if _czero(x):
+        return -y
+    return x - y
+
+
+def fdot(xs, ys):
+    """sum_i xs[i]*ys[i] with zero folding and a balanced reduction tree
+    (short dependency chains pipeline better on the VPU than a serial
+    left-fold; Mosaic does not reassociate)."""
+    terms = [t for t in (fmul(x, y) for x, y in zip(xs, ys)) if not _czero(t)]
+    if not terms:
+        return 0.0
+    while len(terms) > 1:
+        nxt = [fadd(terms[i], terms[i + 1]) for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
 def _imp_scalar(viol, solimp):
     """Scalar MuJoCo solimp impedance spline d(r); `viol` is a (B,) lane
     scalar, `solimp` a static (5,) numpy array (see physics.contact.impedance
@@ -98,10 +152,10 @@ def qmul(a: Quat, b: Quat) -> Quat:
     w1, x1, y1, z1 = a
     w2, x2, y2, z2 = b
     return (
-        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        fsub(fsub(fsub(fmul(w1, w2), fmul(x1, x2)), fmul(y1, y2)), fmul(z1, z2)),
+        fsub(fadd(fadd(fmul(w1, x2), fmul(x1, w2)), fmul(y1, z2)), fmul(z1, y2)),
+        fadd(fadd(fsub(fmul(w1, y2), fmul(x1, z2)), fmul(y1, w2)), fmul(z1, x2)),
+        fadd(fsub(fadd(fmul(w1, z2), fmul(x1, y2)), fmul(y1, x2)), fmul(z1, w2)),
     )
 
 
@@ -109,13 +163,15 @@ def qrot(q: Quat, v: Vec3) -> Vec3:
     """Rotate v by q: v + 2w(u x v) + 2u x (u x v)."""
     w, ux, uy, uz = q
     vx, vy, vz = v
-    cx = uy * vz - uz * vy
-    cy = uz * vx - ux * vz
-    cz = ux * vy - uy * vx
-    dx = uy * cz - uz * cy
-    dy = uz * cx - ux * cz
-    dz = ux * cy - uy * cx
-    return (vx + 2 * (w * cx + dx), vy + 2 * (w * cy + dy), vz + 2 * (w * cz + dz))
+    cx = fsub(fmul(uy, vz), fmul(uz, vy))
+    cy = fsub(fmul(uz, vx), fmul(ux, vz))
+    cz = fsub(fmul(ux, vy), fmul(uy, vx))
+    dx = fsub(fmul(uy, cz), fmul(uz, cy))
+    dy = fsub(fmul(uz, cx), fmul(ux, cz))
+    dz = fsub(fmul(ux, cy), fmul(uy, cx))
+    return (fadd(vx, fmul(2, fadd(fmul(w, cx), dx))),
+            fadd(vy, fmul(2, fadd(fmul(w, cy), dy))),
+            fadd(vz, fmul(2, fadd(fmul(w, cz), dz))))
 
 
 def qmat(q: Quat):
@@ -134,35 +190,37 @@ def qmat(q: Quat):
 def cross(a: Vec3, b: Vec3) -> Vec3:
     ax, ay, az = a
     bx, by, bz = b
-    return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
+    return (fsub(fmul(ay, bz), fmul(az, by)),
+            fsub(fmul(az, bx), fmul(ax, bz)),
+            fsub(fmul(ax, by), fmul(ay, bx)))
 
 
 def dot3(a: Vec3, b: Vec3):
-    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    return fdot(a, b)
 
 
 def add3(a: Vec3, b: Vec3) -> Vec3:
-    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+    return (fadd(a[0], b[0]), fadd(a[1], b[1]), fadd(a[2], b[2]))
 
 
 def sub3(a: Vec3, b: Vec3) -> Vec3:
-    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+    return (fsub(a[0], b[0]), fsub(a[1], b[1]), fsub(a[2], b[2]))
 
 
 def scl3(a: Vec3, s) -> Vec3:
-    return (a[0] * s, a[1] * s, a[2] * s)
+    return (fmul(a[0], s), fmul(a[1], s), fmul(a[2], s))
 
 
 def add6(a, b):
-    return tuple(x + y for x, y in zip(a, b))
+    return tuple(fadd(x, y) for x, y in zip(a, b))
 
 
 def dot6(a, b):
-    return sum(x * y for x, y in zip(a, b))
+    return fdot(a, b)
 
 
 def scl6(a, s):
-    return tuple(x * s for x in a)
+    return tuple(fmul(x, s) for x in a)
 
 
 # ---------------------------------------------------------------------------
@@ -184,25 +242,17 @@ def sym_zero():
 
 
 def sym_add(a, b):
-    return tuple(x + y for x, y in zip(a, b))
+    return tuple(fadd(x, y) for x, y in zip(a, b))
 
 
 def sym_scale(a, s):
-    return tuple(x * s for x in a)
+    return tuple(fmul(x, s) for x in a)
 
 
 def sym_mat_vec(Isym, v6):
     """I @ v for symmetric 21-tuple I and 6-tuple v."""
-    out = []
-    for i in range(6):
-        acc = 0.0
-        for j in range(6):
-            e = Isym[_SYM_IDX[(i, j)]]
-            if _is_const(e) and e == 0.0:
-                continue
-            acc = acc + e * v6[j]
-        out.append(acc)
-    return tuple(out)
+    return tuple(
+        fdot([Isym[_SYM_IDX[(i, j)]] for j in range(6)], v6) for i in range(6))
 
 
 def sym_rank1(u6, w):
@@ -210,11 +260,7 @@ def sym_rank1(u6, w):
     out = []
     for i in range(6):
         for j in range(i, 6):
-            ui, uj = u6[i], u6[j]
-            if (_is_const(ui) and ui == 0.0) or (_is_const(uj) and uj == 0.0):
-                out.append(0.0)
-            else:
-                out.append(w * ui * uj)
+            out.append(fmul(fmul(w, u6[i]), u6[j]))
     return tuple(out)
 
 
@@ -230,7 +276,7 @@ def spatial_inertia_sym(mass: float, inertia_diag, com: Vec3, R) -> tuple:
     Ic = [[None] * 3 for _ in range(3)]
     for i in range(3):
         for j in range(i, 3):
-            Ic[i][j] = d0 * R[i][0] * R[j][0] + d1 * R[i][1] * R[j][1] + d2 * R[i][2] * R[j][2]
+            Ic[i][j] = fdot((d0, d1, d2), (fmul(R[i][0], R[j][0]), fmul(R[i][1], R[j][1]), fmul(R[i][2], R[j][2])))
     c2 = cx_ * cx_ + cy_ * cy_ + cz_ * cz_
     c = (cx_, cy_, cz_)
     out = [0.0] * 21
@@ -274,9 +320,16 @@ class StepContext:
         self.xquat: Dict[int, Quat] = {}
         self.body_vel: Dict[int, tuple] = {}   # 6-tuple [w; v0]
         self.params: List = []        # runtime cost parameters (episode goal)
+        self.R: Dict[int, tuple] = {}          # per-body qmat cache
+
+    def body_R(self, b: int):
+        R = self.R.get(b)
+        if R is None:
+            R = self.R[b] = qmat(self.xquat[b])
+        return R
 
     def body_com_linvel(self, model: PhysicsModel, b: int) -> Vec3:
-        R = qmat(self.xquat[b])
+        R = self.body_R(b)
         ip = [float(x) for x in model.body_ipos[b]]  # plain floats: np.float64
         # scalars would promote f32 lanes to f64 under jax_enable_x64
         xi = add3(self.xpos[b], tuple(
@@ -442,10 +495,21 @@ def scalar_step(
     xpos, xquat, S = fwd["xpos"], fwd["xquat"], fwd["S"]
     V, W = fwd["V"], fwd["W"]
 
+    # per-body rotation matrices, computed at most once per step (qmat was
+    # recomputed 46x/step on the humanoid before this cache — each is ~30
+    # VPU ops that Mosaic will not CSE across call sites)
+    Rcache: Dict[int, tuple] = {}
+
+    def getR(b):
+        R = Rcache.get(b)
+        if R is None:
+            R = Rcache[b] = qmat(xquat[b])
+        return R
+
     # --- body spatial inertias (21-sym, origin frame) ---------------------
     Isym: Dict[int, tuple] = {}
     for b in range(1, model.nbody):
-        R_b = qmat(xquat[b])
+        R_b = getR(b)
         ip = tuple(float(x) for x in model.body_ipos[b])
         iq = tuple(float(x) for x in model.body_iquat[b])
         if ip != (0.0, 0.0, 0.0):
@@ -481,19 +545,19 @@ def scalar_step(
             force = force + b2 * (gear * qvel[act.dofadr])
         if act.forcelimited:
             force = jnp.clip(force, float(act.forcerange[0]), float(act.forcerange[1]))
-        tau[act.dofadr] = tau[act.dofadr] + gear * force
+        tau[act.dofadr] = fadd(tau[act.dofadr], fmul(gear, force))
 
     # passive: damping, friction loss, springs, limits
     for d in range(nv):
         dmp = float(model.dof_damping[d])
         if dmp:
-            tau[d] = tau[d] - dmp * qvel[d]
+            tau[d] = fsub(tau[d], fmul(dmp, qvel[d]))
         fl = float(model.dof_frictionloss[d])
         if fl:
             w_fl = 0.05
             th = jnp.tanh(qvel[d] / w_fl)
-            tau[d] = tau[d] - fl * th
-            g_diag[d] = g_diag[d] + fl / w_fl * (1.0 - th * th)
+            tau[d] = fsub(tau[d], fmul(fl, th))
+            g_diag[d] = fadd(g_diag[d], fmul(fl / w_fl, 1.0 - th * th))
     hs_meff = {int(d): float(me)
                for d, me in zip(model.hs_dofadr, model.hs_limit_meff)}
     for jnt in model.joints:
@@ -501,7 +565,7 @@ def scalar_step(
             continue
         d, qa = jnt.dofadr, jnt.qposadr
         if jnt.stiffness:
-            tau[d] = tau[d] - float(jnt.stiffness) * (qpos[qa] - float(jnt.springref))
+            tau[d] = fsub(tau[d], float(jnt.stiffness) * (qpos[qa] - float(jnt.springref)))
         if jnt.limited:
             # solref/solimp-matched limit force with a0=0 (the "penalty"
             # engine tier — engine._limit_force with qacc0 dropped)
@@ -521,8 +585,8 @@ def scalar_step(
             f_l = jnp.minimum(f_l, meff * jnp.maximum(
                 _REST_VCAP - s_dir * qvel[d], 0.0) / float(h))
             c_l = meff * d_r * b_ref * active
-            tau[d] = tau[d] + s_dir * f_l
-            g_diag[d] = g_diag[d] + c_l
+            tau[d] = fadd(tau[d], s_dir * f_l)
+            g_diag[d] = fadd(g_diag[d], c_l)
 
     # fixed tendons
     tendon_G: List[Tuple[np.ndarray, object]] = []
@@ -553,7 +617,7 @@ def scalar_step(
             m_t * jnp.maximum(_REST_VCAP - s_dir * Ldot, 0.0) / float(h))
         c_t = m_t * d_r * b_ref * active
         for d in nz:
-            tau[d] = tau[d] + float(coef[d]) * f_t
+            tau[d] = fadd(tau[d], fmul(float(coef[d]), f_t))
         tendon_G.append((coef, c_t))
 
     # --- contacts ---------------------------------------------------------
@@ -599,7 +663,7 @@ def scalar_step(
             r, hl = float(g2.size[0]), float(g2.size[1])
             if g2.gtype_orig == 5:  # cylinder: inscribed capsule
                 hl = max(hl - r, 0.0)
-            Rg = qmat(gq)
+            Rg = getR(b) if gq_l == (1.0, 0.0, 0.0, 0.0) else qmat(gq)
             axis = (Rg[0][2], Rg[1][2], Rg[2][2])
             for sgn in (-1.0, 1.0):
                 ce = add3(gp, scl3(axis, sgn * hl))
@@ -607,7 +671,7 @@ def scalar_step(
                 pts.append((sub3(ce, scl3(n_c, r + 0.5 * phi)), phi))
         elif g2.gtype == GEOM_BOX:
             sx, sy, sz = [float(x) for x in g2.size]
-            Rg = qmat(gq)
+            Rg = getR(b) if gq_l == (1.0, 0.0, 0.0, 0.0) else qmat(gq)
             for cx in (-sx, sx):
                 for cy in (-sy, sy):
                     for cz in (-sz, sz):
@@ -714,7 +778,7 @@ def scalar_step(
     rhs = [None] * nv  # tau - bias, assembled below
     for d in range(nv):
         b = int(model.dof_bodyid[d])
-        rhs[d] = tau[d] - dot6(S[d], F_hat[b])
+        rhs[d] = fsub(tau[d], dot6(S[d], F_hat[b]))
 
     # --- composite inertia pass: Mh entries (tree-sparse) -----------------
     # fold implicit contact damping: I_aug = I + h * D_contact
@@ -737,7 +801,7 @@ def scalar_step(
             Mh[(d, e)] = dot6(S[e], Fd)
     for d in range(nv):
         extra = float(model.dof_armature[d]) + h * float(model.dof_damping[d])
-        Mh[(d, d)] = Mh[(d, d)] + extra + h * g_diag[d]
+        Mh[(d, d)] = fadd(fadd(Mh[(d, d)], extra), fmul(h, g_diag[d]))
     for coef, c_act in tendon_G:
         nz = np.nonzero(coef)[0]
         for i_, d in enumerate(nz):
@@ -770,9 +834,9 @@ def scalar_step(
         return [e for e in range(d + 1, nv) if d in chainset[e]]
 
     for d in elim:  # = descending original index
-        s = Mget(d, d)
-        for p in later_chain(d):
-            s = s - Lc[(d, p)] * Lc[(d, p)]
+        lc = later_chain(d)
+        s = fsub(Mget(d, d), fdot([Lc[(d, p)] for p in lc],
+                                  [Lc[(d, p)] for p in lc]))
         dinv = jax.lax.rsqrt(s)
         Ldiag_inv[d] = dinv
         Lc[(d, d)] = s * dinv  # sqrt(s)
@@ -780,31 +844,27 @@ def scalar_step(
         for i in sorted(chainset[d]):
             if i >= d:
                 break
-            v = Mget(i, d)
             # common earlier-eliminated dofs: chain(d) with index > d
             # (chain(d) indices > d are in chain(i) iff also chained to i —
             # they are: chain(d) is totally ordered along the path, and any
             # e > d on d's chain lies below d, hence also on i's chain only
             # if i is an ancestor of e; i < d <= e and i,d chained, d,e
             # chained => i,e chained (tree path transitivity).)
-            for p in later_chain(d):
-                v = v - Lc[(i, p)] * Lc[(d, p)]
+            v = fsub(Mget(i, d), fdot([Lc[(i, p)] for p in lc],
+                                      [Lc[(d, p)] for p in lc]))
             Lc[(i, d)] = v * dinv
 
     # solve (L L^T) x = rhs in elimination order
     y = {}
     for d in elim:
-        v = rhs[d]
-        for p in later_chain(d):
-            v = v - Lc[(d, p)] * y[p]
+        lc = later_chain(d)
+        v = fsub(rhs[d], fdot([Lc[(d, p)] for p in lc], [y[p] for p in lc]))
         y[d] = v * Ldiag_inv[d]
     qacc_d = {}
     for d in range(nv):  # reverse elimination order
-        v = y[d]
-        for i in sorted(chainset[d]):
-            if i >= d:
-                break
-            v = v - Lc[(i, d)] * qacc_d[i]
+        anc = [i for i in sorted(chainset[d]) if i < d]
+        v = fsub(y[d], fdot([Lc[(i, d)] for i in anc],
+                            [qacc_d[i] for i in anc]))
         qacc_d[d] = v * Ldiag_inv[d]
     qacc = [qacc_d[d] for d in range(nv)]
 
