@@ -35,6 +35,8 @@ class EpisodeResult:
     final_qpos: np.ndarray
     logger: TrajectoryLogger
     sim_time: float
+    stalled: bool = False  # aborted by the progress watchdog (no
+    # goal-distance improvement over stall_steps control steps)
 
 
 class EpisodeRunner:
@@ -160,6 +162,8 @@ class EpisodeRunner:
         params_update_fn: Optional[Callable] = None,
         metrics_path: Optional[str] = None,
         per_chunk_callback: Optional[Callable] = None,
+        stall_steps: Optional[int] = None,
+        stall_min_progress: float = 0.05,
     ) -> EpisodeResult:
         """state_row_fn(plant)->jnp row; goal_fn/fall_fn(qpos, params)->bool
         jnp — all evaluated on device (scanned in chunks). `params` is a
@@ -170,7 +174,15 @@ class EpisodeRunner:
         observability the reference lacks, SURVEY.md §5).
         `per_chunk_callback(plant)` runs host-side after every chunk — with
         chunk=1 this is a per-step hook (the live viewer mirror,
-        viz/live.py)."""
+        viz/live.py).
+
+        `stall_steps` arms a progress watchdog: if the root's xy distance to
+        the goal carried in params[0:2] has not improved by at least
+        `stall_min_progress` meters over the last `stall_steps` control
+        steps, the episode is abandoned (EpisodeResult.stalled) — a failed
+        humanoid episode otherwise burns the full max_steps of K-sample
+        replans (round-3 VERDICT weak-6: 54/80 episodes ran the 2,500-step
+        cap for 2/3 of collection wall clock)."""
         import time as _time
 
         from ..utils.metrics import JSONLWriter
@@ -191,8 +203,10 @@ class EpisodeRunner:
         met = JSONLWriter(metrics_path)
 
         nu = self.model.nu
-        goal = fell = False
+        goal = fell = stalled = False
         steps = 0
+        best_dist = np.inf
+        steps_since_best = 0
         while steps < max_steps:
             n = min(chunk, max_steps - steps)
             t_chunk = _time.perf_counter()
@@ -223,13 +237,24 @@ class EpisodeRunner:
                 per_chunk_callback(plant)
             if goal or fell:
                 break
+            if stall_steps:
+                qp = np.asarray(plant.qpos)
+                pv = np.asarray(params)
+                dist = float(np.linalg.norm(qp[0:2] - pv[0:2]))
+                if dist < best_dist - stall_min_progress:
+                    best_dist, steps_since_best = dist, 0
+                else:
+                    steps_since_best += stop
+                if steps_since_best >= stall_steps:
+                    stalled = True
+                    break
         met.write(kind="episode", task=self.spec.name, steps=steps,
-                  goal=bool(goal), fell=bool(fell))
+                  goal=bool(goal), fell=bool(fell), stalled=bool(stalled))
         met.close()
         return EpisodeResult(
             steps=steps, goal_reached=goal, fell=fell,
             final_qpos=np.asarray(plant.qpos), logger=log,
-            sim_time=float(plant.time),
+            sim_time=float(plant.time), stalled=stalled,
         )
 
 
@@ -289,6 +314,8 @@ def collect_humanoid(
     mppi_override: Optional[dict] = None,
     retries: int = 0,
     metrics_path: Optional[str] = None,
+    stall_steps: Optional[int] = 800,
+    stall_min_progress: float = 0.05,
 ):
     """Goal-gated humanoid episode collection. `shard_index`/`num_shards`
     shard episodes across processes/hosts (replacing the 150-run sequential
@@ -330,7 +357,9 @@ def collect_humanoid(
                              seed=seed + ep + attempt * 65537,
                              state_row_fn=_humanoid_state_row(id_l, id_r),
                              goal_fn=_humanoid_goal_fn(goal_threshold),
-                             params=goal, metrics_path=metrics_path)
+                             params=goal, metrics_path=metrics_path,
+                             stall_steps=stall_steps,
+                             stall_min_progress=stall_min_progress)
             if res.goal_reached:
                 break
         if save and res.goal_reached:
@@ -494,20 +523,49 @@ def collect_quadruped(
     save: bool = True,
     shard_index: int = 0,
     num_shards: int = 1,
+    use_kernel: bool = False,
+    mppi_override: Optional[dict] = None,
+    block_k: int = 1024,
+    metrics_path: Optional[str] = None,
+    chunk: int = 50,
+    stall_steps: Optional[int] = 1500,
+    stall_min_progress: float = 0.05,
 ):
+    """Reference src/quadruped_datacollection.py:207-260: the multi-goal Go1
+    driver — goal for run i at (i+2, 0), fall abort below trunk z=0.08,
+    per-run save dirs, only reached goals kept.
+
+    With use_kernel=True the planner rollouts run through the fused Pallas
+    kernel and the goal is carried in the runtime cost params
+    (ops.kernel_costs.quadruped param_goal), so ALL runs share ONE compiled
+    program — the reference re-ran its whole script per goal."""
     results = []
+    kw = {"param_goal": True} if use_kernel else None
     runner = None
     for i in range(n_runs):
         if i % num_shards != shard_index:
             continue
         goal_xy = (i + 2.0, 0.0)
-        runner = EpisodeRunner("go1_collect",
-                               cost_kwargs_override={"goal_xy": goal_xy})
+        if use_kernel:
+            if runner is None:
+                runner = EpisodeRunner(
+                    "go1_collect", cost_kwargs_override=kw,
+                    use_kernel=True, block_k=block_k,
+                    mppi_override=mppi_override)
+        else:
+            # array path bakes the goal into the cost closure (recompiles
+            # per goal — kept for the small-K parity configuration)
+            runner = EpisodeRunner("go1_collect",
+                                   cost_kwargs_override={"goal_xy": goal_xy},
+                                   mppi_override=mppi_override)
 
         res = runner.run(max_steps=max_steps, seed=seed + i,
                          goal_fn=_quad_goal_fn(goal_tolerance),
                          fall_fn=_quad_fall_fn(fall_z),
-                         params=np.asarray(goal_xy))
+                         params=np.asarray(goal_xy), chunk=chunk,
+                         metrics_path=metrics_path,
+                         stall_steps=stall_steps,
+                         stall_min_progress=stall_min_progress)
         if save and res.goal_reached:
             run_dir = os.path.join(out_base, f"run_{i:03d}")
             res.logger.save_run_dir(run_dir)

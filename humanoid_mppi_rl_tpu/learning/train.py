@@ -258,6 +258,11 @@ def train_model(
     key = jax.random.PRNGKey(cfg.seed + 1)
 
     scanned = None
+    if cfg.scan_epochs and len(ds.train_idx) < cfg.batch_size:
+        # a sub-batch-sized training set would make the scanned index array
+        # reshape to (nb, batch_size) with too few indices; the host loop's
+        # ds.batches handles short batches correctly
+        cfg = dataclasses.replace(cfg, scan_epochs=False)
     if cfg.scan_epochs:
         X = jnp.asarray(ds.inputs)
         Y = jnp.asarray(ds.targets)

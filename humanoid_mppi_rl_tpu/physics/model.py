@@ -320,6 +320,18 @@ def build_from_mjcf(
             if bool(m.jnt_limited[j]):
                 raise NotImplementedError(
                     "ball-joint rotation limits not supported")
+        if jt == BALL:
+            # engine FK builds ball S rows from the post-joint rotation; a
+            # LATER rotational joint in the same body would change the final
+            # body frame MuJoCo derives cdof from — guard loudly instead of
+            # silently mismatching (round-3 ADVICE)
+            later = [k for k in range(j + 1, m.njnt)
+                     if int(m.jnt_bodyid[k]) == int(m.jnt_bodyid[j])
+                     and int(m.jnt_type[k]) in (BALL, HINGE)]
+            if later:
+                raise NotImplementedError(
+                    "ball joint followed by another rotational joint in the "
+                    "same body is not supported (S-row frame mismatch)")
         ndof = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}[jt]
         joints.append(
             Joint(

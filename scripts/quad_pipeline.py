@@ -1,0 +1,211 @@
+"""Quadruped (Go1) full pipeline on one command (round-3 VERDICT missing-1):
+
+  1. collect   — kernel-path multi-goal Go1 trot collection at scale
+                 (reference src/quadruped_datacollection.py:207-260: goal for
+                 run i at (i+2, 0), fall abort below trunk z=0.08, per-run
+                 save dirs, only reached goals kept; 37-col states). All runs
+                 share ONE compiled program — the goal rides in the runtime
+                 cost params.
+  2. train     — FeatureAttention(37,12,512,4,2) on the SELF-collected runs
+                 for the reference budget (50 epochs, Adam 1e-4 cosine,
+                 reference learning/train_quadruped.py:54-60).
+  3. estimator — closed-loop estimator MPPI on the self-trained surrogate
+                 against the coupled-tier Go1 plant (reference
+                 src/quadruped_mppi_estimator.py:58-95 — whose checkpoint was
+                 stripped upstream; this regenerates the lost artifact).
+
+Stages are resumable via completion markers (same scheme as
+scripts/full_pipeline.py). Observable outputs under --out: per-run CSV dirs,
+flattened training dirs, metrics JSONL, checkpoints, the closed-loop
+trajectory npz, and summary.json.
+
+  python scripts/quad_pipeline.py --out artifacts/quad_pipeline
+"""
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def marker(out, stage):
+    return os.path.join(out, f".done_{stage}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="artifacts/quad_pipeline")
+    ap.add_argument("--runs", type=int, default=20)
+    ap.add_argument("--max-steps", type=int, default=6000)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=50)
+    ap.add_argument("--estimator-steps", type=int, default=200)
+    ap.add_argument("--estimator-k", type=int, default=2048)
+    ap.add_argument("--flash", action="store_true",
+                    help="estimator rollouts through the fused Pallas flash "
+                         "forward (ops/estimator_kernel)")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--shard-index", type=int, default=0)
+    ap.add_argument("--num-shards", type=int, default=1)
+    ap.add_argument("--force", action="store_true")
+    args = ap.parse_args()
+
+    from humanoid_mppi_rl_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    out = args.out
+    os.makedirs(out, exist_ok=True)
+    summary_path = os.path.join(out, "summary.json")
+    summary = (json.load(open(summary_path))
+               if os.path.exists(summary_path) else {})
+
+    run_base = os.path.join(out, "quad_data_goal")
+
+    # ---- 1. collect -------------------------------------------------------
+    if args.force or not os.path.exists(marker(out, "collect")):
+        from humanoid_mppi_rl_tpu.collect.runner import collect_quadruped
+
+        t0 = time.time()
+        results = collect_quadruped(
+            n_runs=args.runs, out_base=run_base, seed=args.seed,
+            max_steps=args.max_steps, use_kernel=True,
+            mppi_override={"n_samples": args.k, "horizon": args.horizon},
+            block_k=min(1024, args.k),
+            shard_index=args.shard_index, num_shards=args.num_shards,
+            metrics_path=os.path.join(out, "collect_metrics.jsonl"))
+        wall = time.time() - t0
+        n_ok = sum(1 for _, ok, _ in results if ok)
+        steps = sum(s for _, _, s in results)
+        summary["collect"] = {
+            "runs_attempted": len(results), "runs_goal": n_ok,
+            "control_steps": steps, "wall_s": round(wall, 1),
+            "steps_per_s": round(steps / max(wall, 1e-9), 2),
+            "K": args.k, "horizon": args.horizon,
+            "results": results,
+        }
+        json.dump(summary, open(summary_path, "w"), indent=1)
+        open(marker(out, "collect"), "w").write("ok")
+        print(json.dumps({"stage": "collect", **summary["collect"]},
+                         default=str), flush=True)
+
+    # ---- flatten run dirs into MultiTrajectoryDataset layout --------------
+    # (reference trains from flat data_quadruped/{states,actions} dirs,
+    #  learning/train_quadruped.py:15-16)
+    flat = os.path.join(out, "data_quadruped")
+    for kind in ("states", "actions"):
+        os.makedirs(os.path.join(flat, kind), exist_ok=True)
+    n_flat = 0
+    if os.path.isdir(run_base):
+        for rd in sorted(os.listdir(run_base)):
+            src = os.path.join(run_base, rd, "states.csv")
+            if not os.path.exists(src):
+                continue
+            for kind in ("states", "actions"):
+                shutil.copyfile(
+                    os.path.join(run_base, rd, f"{kind}.csv"),
+                    os.path.join(flat, kind, f"{rd}.csv"))
+            n_flat += 1
+
+    # ---- 2. train ---------------------------------------------------------
+    ckpt_dir = os.path.join(out, "ckpt")
+    if args.force or not os.path.exists(marker(out, "train")):
+        import dataclasses
+
+        from humanoid_mppi_rl_tpu.learning.train import (
+            PRESET_CONFIGS, train_model)
+
+        cfg = dataclasses.replace(
+            PRESET_CONFIGS["quadruped"], epochs=args.epochs,
+            ckpt_dir=os.path.abspath(ckpt_dir), scan_epochs=True,
+            plot_path=os.path.join(out, "loss_curve.png"),
+            log_path=os.path.join(out, "train_metrics.jsonl"))
+        t0 = time.time()
+        res = train_model(os.path.join(flat, "states"),
+                          os.path.join(flat, "actions"), cfg)
+        wall = time.time() - t0
+        summary["train"] = {
+            "epochs": args.epochs, "n_runs_used": n_flat,
+            "n_pairs": res["n_pairs"],
+            "best_eval_loss": res["best_eval_loss"],
+            "final_train_loss": res["final_train_loss"],
+            "best_checkpoint": res["best_checkpoint"],
+            "final_checkpoint": res["final_checkpoint"],
+            "wall_s": round(wall, 1),
+        }
+        json.dump(summary, open(summary_path, "w"), indent=1)
+        open(marker(out, "train"), "w").write("ok")
+        print(json.dumps({"stage": "train", **summary["train"]}), flush=True)
+
+    # ---- 3. estimator closed loop ----------------------------------------
+    if args.force or not os.path.exists(marker(out, "estimator")):
+        import dataclasses
+
+        from humanoid_mppi_rl_tpu.collect.estimator import (
+            ESTIMATOR_CONFIGS, EstimatorRunner, quadruped_estimator_costs)
+        from humanoid_mppi_rl_tpu.envs.tasks import TASKS
+        from humanoid_mppi_rl_tpu.learning.train import load_checkpoint
+        from humanoid_mppi_rl_tpu.models.predictors import make_model
+
+        net = make_model("quadruped_attention")
+        F = net.state_dim + net.action_dim
+        params0 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, F)),
+                           deterministic=True)
+        best = summary.get("train", {}).get(
+            "best_checkpoint",
+            os.path.abspath(os.path.join(ckpt_dir, "model_best")))
+        params = load_checkpoint(best, params0)
+
+        spec = TASKS["go1_collect"]
+        cfg = dataclasses.replace(ESTIMATOR_CONFIGS["quadruped"],
+                                  n_samples=args.estimator_k)
+        running, terminal = quadruped_estimator_costs()
+
+        if args.flash:
+            from humanoid_mppi_rl_tpu.ops.estimator_kernel import (
+                make_flash_feature_attention)
+            apply_fn = make_flash_feature_attention(net, params)
+        else:
+            apply_fn = net.apply
+        est = EstimatorRunner(spec.asset_path(), apply_fn, params, cfg,
+                              running, terminal,
+                              batched_dynamics=args.flash)
+        # start from the Go1 keyframe stance (reference resets to the model
+        # home keyframe before the estimator loop)
+        init_qpos = dict(est.plant_model.keyframes).get("home")
+        t0 = time.time()
+        log = est.run(n_steps=args.estimator_steps, seed=args.seed,
+                      init_qpos=init_qpos)
+        wall = time.time() - t0
+        s, a, t = log.arrays()
+        np.savez_compressed(os.path.join(out, "estimator_closedloop.npz"),
+                            states=s, actions=a, times=t)
+        summary["estimator"] = {
+            "steps": int(s.shape[0]), "K": args.estimator_k,
+            "finite": bool(np.isfinite(s).all()),
+            "final_root_xyz": [round(float(v), 4) for v in s[-1, :3]],
+            "min_trunk_z": round(float(s[:, 2].min()), 4),
+            "forward_progress_m": round(float(s[-1, 0] - s[0, 0]), 4),
+            "wall_s": round(wall, 1),
+            "replan_s": round(wall / max(1, s.shape[0]), 3),
+            "checkpoint": best,
+        }
+        json.dump(summary, open(summary_path, "w"), indent=1)
+        open(marker(out, "estimator"), "w").write("ok")
+        print(json.dumps({"stage": "estimator", **summary["estimator"]}),
+              flush=True)
+
+    print(json.dumps({"stage": "done", "summary": summary_path}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -31,6 +31,24 @@ def test_quadruped_collect_runs_and_layout(tmp_path):
     assert actions.shape[1] == 12
 
 
+def test_stall_watchdog_aborts_doomed_episode():
+    """round-3 VERDICT weak-6: an episode making no goal progress must be
+    abandoned after stall_steps instead of burning max_steps."""
+    r = EpisodeRunner("cartpole", mppi_override=TINY)
+    res = r.run(max_steps=60, chunk=4, params=np.asarray([50.0, 0.0]),
+                stall_steps=8, stall_min_progress=0.05)
+    assert res.stalled
+    assert not res.goal_reached
+    assert res.steps <= 16  # aborted within ~stall_steps + one chunk
+
+
+def test_stall_watchdog_off_by_default():
+    r = EpisodeRunner("cartpole", mppi_override=TINY)
+    res = r.run(max_steps=12, chunk=4, params=np.asarray([50.0, 0.0]))
+    assert not res.stalled
+    assert res.steps == 12
+
+
 def test_humanoid_collect_gating_and_layout(tmp_path, monkeypatch):
     import humanoid_mppi_rl_tpu.collect.runner as runner_mod
 
