@@ -530,6 +530,7 @@ def collect_quadruped(
     chunk: int = 50,
     stall_steps: Optional[int] = 1500,
     stall_min_progress: float = 0.05,
+    gait_params: Optional[np.ndarray] = None,
 ):
     """Reference src/quadruped_datacollection.py:207-260: the multi-goal Go1
     driver — goal for run i at (i+2, 0), fall abort below trunk z=0.08,
@@ -538,9 +539,17 @@ def collect_quadruped(
     With use_kernel=True the planner rollouts run through the fused Pallas
     kernel and the goal is carried in the runtime cost params
     (ops.kernel_costs.quadruped param_goal), so ALL runs share ONE compiled
-    program — the reference re-ran its whole script per goal."""
+    program — the reference re-ran its whole script per goal.
+
+    `gait_params` (slots 4..12, see ops.kernel_costs.quadruped param_gait)
+    adds runtime gait-shaping deltas; costs/quadruped.GAIT_TUNED is the
+    sweep-selected setting that trots at reference speed on our planner
+    tier (the zero default reproduces the reference cost verbatim, which
+    belly-crawls against the penalty planner — scripts/dev_quad_gait.py)."""
     results = []
     kw = {"param_goal": True} if use_kernel else None
+    if use_kernel and gait_params is not None:
+        kw = {"param_goal": True, "param_gait": True}
     runner = None
     for i in range(n_runs):
         if i % num_shards != shard_index:
@@ -559,10 +568,15 @@ def collect_quadruped(
                                    cost_kwargs_override={"goal_xy": goal_xy},
                                    mppi_override=mppi_override)
 
+        params = np.asarray(goal_xy, np.float32)
+        if gait_params is not None:
+            params = np.concatenate([
+                params, np.zeros(2, np.float32),
+                np.asarray(gait_params, np.float32)])
         res = runner.run(max_steps=max_steps, seed=seed + i,
                          goal_fn=_quad_goal_fn(goal_tolerance),
                          fall_fn=_quad_fall_fn(fall_z),
-                         params=np.asarray(goal_xy), chunk=chunk,
+                         params=params, chunk=chunk,
                          metrics_path=metrics_path,
                          stall_steps=stall_steps,
                          stall_min_progress=stall_min_progress)

@@ -91,6 +91,22 @@ def make_costs(model, goal_xy=(2.0, 0.0), **_unused):
     return running, terminal
 
 
+# Sweep-selected runtime gait-shaping deltas (ops.kernel_costs.quadruped
+# param_gait slots 4..12) for the kernel planner tier: w_height 500 -> 10k,
+# home-posture shaping 3k on the TRUE leg joints, sigma x0.6. The reference
+# cost verbatim (all-zero deltas) belly-crawls against the penalty planner
+# model at large K — the optimizer exploits planner-model error with crawl
+# lunges MuJoCo C never rewarded; shrinking exploration noise and anchoring
+# height/posture restores a reference-grade trot (0.44 m/s, z 0.27-0.34 vs
+# the reference's committed 0.39-0.62 m/s, z 0.21-0.45 — quad_data_goal).
+# Sweep evidence: scripts/dev_quad_gait.py, round-4.
+GAIT_TUNED = (0.0, 0.0,            # d_target_vel_x, d_target_height
+              3.0, 0.0, 0.0, 0.0,  # ln(w_h/500)=ln 20, w_v, w_tr, w_g logs
+              3000.0,              # home-posture weight (true 12 joints)
+              -0.5108256237659907,  # ln 0.6: sigma scale
+              0.0)                 # temperature scale
+
+
 def make_costs_mppi_jl(model, target_vel_x=0.5):
     """Simpler Go1 cost (reference src/mppi.jl:18-62): track forward velocity,
     stay upright (roll/pitch from quaternion), regularize joints and ctrl."""

@@ -290,30 +290,58 @@ def humanoid_hard(model: PhysicsModel, target=(2.0, 0.0, 1.28),
     return running, terminal
 
 
-def quadruped(model: PhysicsModel, goal_xy=(2.0, 0.0), param_goal: bool = False):
+def quadruped(model: PhysicsModel, goal_xy=(2.0, 0.0), param_goal: bool = False,
+              param_gait: bool = False):
     """reference src/quadruped_datacollection.py:57-138 verbatim, including
-    its indexing quirks (see costs/quadruped.py docstring)."""
+    its indexing quirks (see costs/quadruped.py docstring).
+
+    param_gait=True additionally reads runtime gait-shaping DELTAS from
+    ctx.params (same design as the humanoid's param_gait — an all-zero
+    params vector reproduces the reference cost exactly while a sweep over
+    shaping reuses one compile):
+      4: d_target_vel_x      5: d_target_height
+      6: d_log_w_height      7: d_log_w_vel
+      8: d_log_w_trot        9: d_log_w_goal
+      10: d_home_posture_w — NEW term weight on the TRUE 12 leg joints
+          (qpos[7:19]) toward the home-stance keyframe pose; the
+          reference's "calf"/posture terms act on misindexed state
+          (docstring) and provide no real leg shaping on our planner
+          tier, which otherwise prefers a belly-crawl minimum."""
+    home12 = [float(x) for x in np.asarray(
+        dict(model.keyframes)["home"])[7:19]]
     gx0, gy0 = [float(v) for v in goal_xy]
 
     def running(ctx: StepContext, t):
         gx, gy = (ctx.params[0], ctx.params[1]) if param_goal else (gx0, gy0)
         q, v, u = ctx.qpos, ctx.qvel, ctx.ctrl
         time = ctx.time
+        if param_gait:
+            p = ctx.params
+            d_vel, d_h = p[4], p[5]
+            w_h = 500.0 * jnp.exp(p[6])
+            w_v = 30000.0 * jnp.exp(p[7])
+            w_tr = 34000.0 * jnp.exp(p[8])
+            w_g = 3000.0 * jnp.exp(p[9])
+            w_knee_true = p[10]
+        else:
+            d_vel = d_h = 0.0
+            w_h, w_v, w_tr, w_g = 500.0, 30000.0, 34000.0, 3000.0
+            w_knee_true = 0.0
         phase = (time % 0.5) / 0.5 * 2 * np.pi
         trot = jnp.sin(phase)
-        target_vel_x = 0.9 + 0.1 * jnp.sin(phase)
+        target_vel_x = 0.9 + d_vel + 0.1 * jnp.sin(phase)
 
         FL_calf, FR_calf, RL_calf, RR_calf = q[2], q[5], q[8], q[11]
-        cost = 500.0 * (q[2] - 0.4) ** 2
-        cost = cost + 30000.0 * (v[0] - target_vel_x) ** 2
+        cost = w_h * (q[2] - (0.4 + d_h)) ** 2
+        cost = cost + w_v * (v[0] - target_vel_x) ** 2
         cost = cost + 500.0 * (q[6] ** 2 + q[7] ** 2)
         cost = cost + 20.0 * _sumsq(v[6:9])
         cost = cost + 50000.0 * (q[1] ** 2 + v[1] ** 2)
         cost = cost + 0.01 * _sumsq(u)
-        cost = cost + 3000.0 * ((q[0] - gx) ** 2 + (q[1] - gy) ** 2)
+        cost = cost + w_g * ((q[0] - gx) ** 2 + (q[1] - gy) ** 2)
         f1 = (FL_calf - RR_calf) * trot
         f2 = (FR_calf - RL_calf) * (-trot)
-        cost = cost + 34000.0 * (f1 * f1 + f2 * f2)
+        cost = cost + w_tr * (f1 * f1 + f2 * f2)
         cost = cost - 4400.0 * (u[1] ** 2 + u[4] ** 2)
         cost = cost + 4400.0 * (u[2] ** 2 + u[5] ** 2)
         cost = cost - 10000.0 * (u[7] ** 2 + u[10] ** 2)
@@ -322,6 +350,15 @@ def quadruped(model: PhysicsModel, goal_xy=(2.0, 0.0), param_goal: bool = False)
         cost = cost + 2000.0 * ((FL_calf - nk) ** 2 + (FR_calf - nk) ** 2
                                 + (RL_calf - nk) ** 2 + (RR_calf - nk) ** 2)
         cost = cost + 5.0 * _sumsq(q[0:12])
+        if param_gait:
+            # true-leg-joint stance shaping toward the home keyframe pose:
+            # prevents the belly-crawl minimum (collapsed thighs) the
+            # penalty planner tier otherwise prefers; zero weight ==
+            # reference cost
+            ck = 0.0
+            for k in range(12):
+                ck = ck + (q[7 + k] - home12[k]) ** 2
+            cost = cost + w_knee_true * ck
         return cost
 
     def terminal(ctx):

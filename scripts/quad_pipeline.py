@@ -41,8 +41,11 @@ def marker(out, stage):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="artifacts/quad_pipeline")
-    ap.add_argument("--runs", type=int, default=20)
-    ap.add_argument("--max-steps", type=int, default=6000)
+    ap.add_argument("--runs", type=int, default=15)
+    ap.add_argument("--max-steps", type=int, default=25000)
+    ap.add_argument("--reference-cost", action="store_true",
+                    help="zero gait deltas (reference cost verbatim) "
+                         "instead of costs/quadruped.GAIT_TUNED")
     ap.add_argument("--k", type=int, default=4096)
     ap.add_argument("--horizon", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=50)
@@ -74,13 +77,16 @@ def main():
     # ---- 1. collect -------------------------------------------------------
     if args.force or not os.path.exists(marker(out, "collect")):
         from humanoid_mppi_rl_tpu.collect.runner import collect_quadruped
+        from humanoid_mppi_rl_tpu.costs.quadruped import GAIT_TUNED
 
+        gait = None if args.reference_cost else np.asarray(GAIT_TUNED,
+                                                           np.float32)
         t0 = time.time()
         results = collect_quadruped(
             n_runs=args.runs, out_base=run_base, seed=args.seed,
             max_steps=args.max_steps, use_kernel=True,
             mppi_override={"n_samples": args.k, "horizon": args.horizon},
-            block_k=min(1024, args.k),
+            block_k=min(1024, args.k), gait_params=gait,
             shard_index=args.shard_index, num_shards=args.num_shards,
             metrics_path=os.path.join(out, "collect_metrics.jsonl"))
         wall = time.time() - t0
