@@ -531,6 +531,8 @@ def collect_quadruped(
     stall_steps: Optional[int] = 1500,
     stall_min_progress: float = 0.05,
     gait_params: Optional[np.ndarray] = None,
+    goal_for_run: Optional[Callable] = None,
+    retries: int = 0,
 ):
     """Reference src/quadruped_datacollection.py:207-260: the multi-goal Go1
     driver — goal for run i at (i+2, 0), fall abort below trunk z=0.08,
@@ -554,7 +556,12 @@ def collect_quadruped(
     for i in range(n_runs):
         if i % num_shards != shard_index:
             continue
-        goal_xy = (i + 2.0, 0.0)
+        # reference ladder: goal for run i at (i+2, 0) — its committed data
+        # is nonetheless all run_000/run_001 (goal x=2, reached at x~1.5)
+        # because the trot is metastable at every scale; goal_for_run lets
+        # the pipeline match that committed distribution (cycling near
+        # goals) instead of burning attempts on 20 m targets
+        goal_xy = (i + 2.0, 0.0) if goal_for_run is None else goal_for_run(i)
         if use_kernel:
             if runner is None:
                 runner = EpisodeRunner(
@@ -573,13 +580,17 @@ def collect_quadruped(
             params = np.concatenate([
                 params, np.zeros(2, np.float32),
                 np.asarray(gait_params, np.float32)])
-        res = runner.run(max_steps=max_steps, seed=seed + i,
-                         goal_fn=_quad_goal_fn(goal_tolerance),
-                         fall_fn=_quad_fall_fn(fall_z),
-                         params=params, chunk=chunk,
-                         metrics_path=metrics_path,
-                         stall_steps=stall_steps,
-                         stall_min_progress=stall_min_progress)
+        for attempt in range(retries + 1):
+            res = runner.run(max_steps=max_steps,
+                             seed=seed + i + attempt * 65537,
+                             goal_fn=_quad_goal_fn(goal_tolerance),
+                             fall_fn=_quad_fall_fn(fall_z),
+                             params=params, chunk=chunk,
+                             metrics_path=metrics_path,
+                             stall_steps=stall_steps,
+                             stall_min_progress=stall_min_progress)
+            if res.goal_reached:
+                break
         if save and res.goal_reached:
             run_dir = os.path.join(out_base, f"run_{i:03d}")
             res.logger.save_run_dir(run_dir)

@@ -47,6 +47,21 @@ def build_rollout_kernel(
 
     cost_factory: ops.kernel_costs factory -> (running(ctx,t), terminal(ctx)).
     """
+    from ..physics.model import BALL, GEOM_MESH
+    for jnt in model.joints:
+        if jnt.jtype == BALL:
+            raise NotImplementedError(
+                "ball joints are array-engine-only (the scalar kernel's FK "
+                "would silently treat them as hinges)")
+    for act in model.actuators:
+        if act.ndof != 1:
+            raise NotImplementedError(
+                "multi-dof (ball/free) actuators are array-engine-only")
+    for g in model.geoms:
+        if g.gtype == GEOM_MESH:
+            raise NotImplementedError(
+                "mesh collision geoms are array-engine-only (plane-vs-mesh "
+                "vertex ranking, physics/contact.py)")
     nq, nv, nu = model.nq, model.nv, model.nu
     T = horizon
     kw = dict(cost_kwargs or {})

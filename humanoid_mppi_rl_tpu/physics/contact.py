@@ -52,7 +52,8 @@ import jax
 import jax.numpy as jnp
 
 from . import spatial as sp
-from .model import GEOM_BOX, GEOM_CAPSULE, GEOM_PLANE, GEOM_SPHERE, PhysicsModel
+from .model import (GEOM_BOX, GEOM_CAPSULE, GEOM_MESH, GEOM_PLANE,
+                    GEOM_SPHERE, PhysicsModel)
 
 _VT_EPS = 5e-3  # m/s tangential regularization (implicit => can be small)
 
@@ -447,6 +448,20 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
                         corner = g_pos + g_R @ (size * jnp.asarray([sx, sy, sz], dtype))
                         phi_b = jnp.dot(n, corner - p_pos)
                         add(corner - n * (0.5 * phi_b), phi_b, t1_box)
+        elif g2.gtype == GEOM_MESH:
+            # plane-vs-mesh: rank the geom-frame vertices by plane distance
+            # and take the 4 deepest (MuJoCo's plane-convex narrowphase
+            # also returns up to 4 support points); row count stays static
+            t1_mesh = _make_frame_tangent(n)
+            verts = jnp.asarray(g2.mesh_verts, dtype)          # (V, 3)
+            world = g_pos[None, :] + verts @ g_R.T             # (V, 3)
+            phi_all = world @ n - jnp.dot(n, p_pos)            # (V,)
+            kk = min(4, int(verts.shape[0]))
+            _, idx = jax.lax.top_k(-phi_all, kk)
+            for r_i in range(kk):
+                vtx = world[idx[r_i]]
+                phi_v = phi_all[idx[r_i]]
+                add(vtx - n * (0.5 * phi_v), phi_v, t1_mesh)
         else:  # pragma: no cover
             raise NotImplementedError(f"plane vs geom type {g2.gtype}")
 

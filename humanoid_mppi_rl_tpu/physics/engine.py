@@ -34,6 +34,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from . import spatial as sp
@@ -234,21 +235,45 @@ def project_forces(model: PhysicsModel, S: jax.Array, F_body: jax.Array) -> jax.
 
 def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl) -> jax.Array:
     """qfrc_actuator: motor/position servo torques (mujoco gain/bias model),
-    vectorized over all (joint-transmission, single-dof) actuators."""
+    vectorized over all (joint-transmission, single-dof) actuators; motor
+    transmissions on ball/free joints (gear vector over the joint's dofs)
+    are applied per-actuator below."""
     dtype = qpos.dtype
     if model.nu == 0:
         return jnp.zeros(model.nv, dtype)
-    gear = jnp.asarray(model.act_gear, dtype)
-    u = jnp.clip(ctrl, jnp.asarray(model.act_ctrl_lo, dtype),
-                 jnp.asarray(model.act_ctrl_hi, dtype))
-    length = gear * qpos[jnp.asarray(model.act_qposadr)]
-    velocity = gear * qvel[jnp.asarray(model.act_dofadr)]
-    bias = jnp.asarray(model.act_bias, dtype)
-    force = (jnp.asarray(model.act_gain, dtype) * u
-             + bias[:, 0] + bias[:, 1] * length + bias[:, 2] * velocity)
-    force = jnp.clip(force, jnp.asarray(model.act_force_lo, dtype),
-                     jnp.asarray(model.act_force_hi, dtype))
-    return jnp.zeros(model.nv, dtype).at[jnp.asarray(model.act_dofadr)].add(gear * force)
+    sel = (np.arange(model.nu) if model.act_single_idx is None
+           else model.act_single_idx)
+    qfrc = jnp.zeros(model.nv, dtype)
+    if len(sel):
+        gear = jnp.asarray(model.act_gear[sel], dtype)
+        u = jnp.clip(ctrl[jnp.asarray(sel)],
+                     jnp.asarray(model.act_ctrl_lo[sel], dtype),
+                     jnp.asarray(model.act_ctrl_hi[sel], dtype))
+        length = gear * qpos[jnp.asarray(model.act_qposadr[sel])]
+        velocity = gear * qvel[jnp.asarray(model.act_dofadr[sel])]
+        bias = jnp.asarray(model.act_bias[sel], dtype)
+        force = (jnp.asarray(model.act_gain[sel], dtype) * u
+                 + bias[:, 0] + bias[:, 1] * length + bias[:, 2] * velocity)
+        force = jnp.clip(force, jnp.asarray(model.act_force_lo[sel], dtype),
+                         jnp.asarray(model.act_force_hi[sel], dtype))
+        qfrc = qfrc.at[jnp.asarray(model.act_dofadr[sel])].add(gear * force)
+    for i, act in enumerate(model.actuators):
+        if act.ndof == 1:
+            continue
+        # motor-type only (model build guards position/bias servos):
+        # force = gain * u, qfrc[dofs] += gear[:ndof] * force; velocity
+        # bias uses the gear projection of qvel (MuJoCo actuator_velocity)
+        u = ctrl[i]
+        if act.ctrllimited:
+            u = jnp.clip(u, float(act.ctrlrange[0]), float(act.ctrlrange[1]))
+        gv = jnp.asarray(act.gear6[:act.ndof], dtype)
+        vel = gv @ qvel[act.dofadr:act.dofadr + act.ndof]
+        force = float(act.gain) * u + float(act.bias[2]) * vel
+        if act.forcelimited:
+            force = jnp.clip(force, float(act.forcerange[0]),
+                             float(act.forcerange[1]))
+        qfrc = qfrc.at[act.dofadr:act.dofadr + act.ndof].add(gv * force)
+    return qfrc
 
 
 def _limit_force(viol, pos_dot, a0_pos, solref, solimp, meff, lim, dtype,
@@ -332,6 +357,12 @@ def _passive_forces(model: PhysicsModel, qpos, qvel,
         f = -jnp.asarray(model.hs_stiffness, dtype) * (
             qpos[qadr] - jnp.asarray(model.hs_springref, dtype))
         tau = tau.at[dadr].add(f)
+    # ball-joint quaternion springs: tau[dofs] = -k * subQuat(q, q_spring)
+    # (MuJoCo mj_passive ball branch — local-frame rotation vector)
+    for dofadr, qadr, k, qref in model.ball_springs:
+        q = qpos[qadr:qadr + 4]
+        vec = sp.quat_sub(q, jnp.asarray(qref, dtype))
+        tau = tau.at[dofadr:dofadr + 3].add(-k * vec)
     return tau, jnp.diag(g_diag)
 
 
@@ -389,6 +420,29 @@ def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
                                 r_form=r_form, h=h)
         tau = tau + coef.T @ (s * f_c)
         G_extra = jnp.einsum("t,tn,tm->nm", c_t, coef, coef)
+
+    # ball-joint rotation-angle limits: constraint row J = -axis over the
+    # ball's 3 dofs (pushing the rotation vector back toward zero), same
+    # solref/solimp law as single-dof limits (penalty tier)
+    for dofadr, qadr, max_angle, solref, solimp, meff in model.ball_limits:
+        q = qpos[qadr:qadr + 4]
+        rotvec = sp.quat_log(q)
+        angle = jnp.sqrt(jnp.sum(rotvec * rotvec) + 1e-24)
+        axis = rotvec / angle
+        viol = jnp.maximum(angle - max_angle, 0.0)
+        v_row = -(axis @ qvel[dofadr:dofadr + 3])
+        a_row = -(axis @ qacc0[dofadr:dofadr + 3])
+        f_c, c_b = _limit_force(viol[None], v_row[None], a_row[None],
+                                np.asarray(solref)[None],
+                                np.asarray(solimp)[None],
+                                np.asarray([meff]),
+                                jnp.ones(1, dtype), dtype,
+                                r_form=r_form, h=h)
+        tau = tau.at[dofadr:dofadr + 3].add(-axis * f_c[0])
+        Gb = c_b[0] * jnp.outer(axis, axis)
+        pad = jnp.zeros((model.nv, model.nv), dtype).at[
+            dofadr:dofadr + 3, dofadr:dofadr + 3].set(Gb)
+        G_extra = pad if G_extra is None else G_extra + pad
     G = jnp.diag(g_diag)
     if G_extra is not None:
         G = G + G_extra

@@ -32,6 +32,7 @@ GEOM_SPHERE = 2
 GEOM_CAPSULE = 3
 GEOM_ELLIPSOID = 4
 GEOM_CYLINDER = 5
+GEOM_MESH = 7
 GEOM_BOX = 6
 
 
@@ -50,6 +51,8 @@ class Joint:
     springref: float      # reference position of the joint spring
     solref: np.ndarray = None    # (2,) limit-constraint (timeconst, dampratio)
     solimp: np.ndarray = None    # (5,) limit-constraint impedance
+    # ball joints only: spring reference quaternion (qpos_spring segment)
+    springref_quat: np.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +68,11 @@ class Actuator:
     ctrlrange: np.ndarray     # (2,)
     forcelimited: bool
     forcerange: np.ndarray    # (2,)
+    # multi-dof (ball/free joint) transmissions: number of driven dofs and
+    # the gear vector across them; single-dof actuators keep ndof=1 and
+    # gear == gear6[0]
+    ndof: int = 1
+    gear6: np.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +94,9 @@ class Geom:
     # reach past the flat faces — a false trunk/thigh contact otherwise,
     # scripts/dev_go1_probe.py)
     gtype_orig: int = -1
+    # mesh geoms: vertices in the geom frame (plane-vs-mesh narrowphase
+    # ranks them by plane distance each step — contact.py)
+    mesh_verts: np.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,6 +265,16 @@ class PhysicsModel:
     # joint/tendon limit penalty: k = Mdiag0/tc^2, c = 2*zeta*Mdiag0/tc per dof
     limit_timeconst: float = 0.02
     limit_dampratio: float = 1.0
+    # indices (into the nu ctrl slots) of single-dof joint actuators — the
+    # vectorized actuator kernel covers these; multi-dof (ball/free) motor
+    # transmissions are applied per-actuator in engine._actuator_forces
+    act_single_idx: np.ndarray = None   # (n_single,)
+    # ball-joint springs/limits (engine._passive_forces /
+    # _limit_constraint_forces): tuples so the model stays hashable
+    #   springs: (dofadr, qposadr, stiffness, springref_quat tuple)
+    #   limits:  (dofadr, qposadr, max_angle_rad, solref t, solimp t, meff)
+    ball_springs: Tuple = ()
+    ball_limits: Tuple = ()
 
     def body_id(self, name: str) -> int:
         return self.body_names.index(name)
@@ -312,14 +333,12 @@ def build_from_mjcf(
         jt = int(m.jnt_type[j])
         if jt == BALL:
             # supported: FK (quaternion about the anchor), local-expmap
-            # integration, mass/bias via the generic spatial machinery.
-            # Guarded out: ball springs (act on the quaternion) and ball
-            # rotation-angle limits — no task model uses either.
-            if float(m.jnt_stiffness[j]) != 0.0:
-                raise NotImplementedError("ball-joint springs not supported")
-            if bool(m.jnt_limited[j]):
-                raise NotImplementedError(
-                    "ball-joint rotation limits not supported")
+            # integration, mass/bias via the generic spatial machinery,
+            # quaternion springs toward qpos_spring, and rotation-angle
+            # limits (penalty-tier solref/solimp law on the total rotation
+            # angle, MuJoCo jnt_range[1] convention) — engine._passive_forces
+            # / _limit_constraint_forces.
+            pass
         if jt == BALL:
             # engine FK builds ball S rows from the post-joint rotation; a
             # LATER rotational joint in the same body would change the final
@@ -348,6 +367,9 @@ def build_from_mjcf(
                 springref=float(m.qpos_spring[m.jnt_qposadr[j]]) if jt in (SLIDE, HINGE) else 0.0,
                 solref=m.jnt_solref[j].copy(),
                 solimp=m.jnt_solimp[j].copy(),
+                springref_quat=(m.qpos_spring[
+                    m.jnt_qposadr[j]:m.jnt_qposadr[j] + 4].copy()
+                    if jt == BALL else None),
             )
         )
         body_joints[int(m.jnt_bodyid[j])].append(j)
@@ -398,10 +420,19 @@ def build_from_mjcf(
         if trntype != int(mujoco.mjtTrn.mjTRN_JOINT):
             raise NotImplementedError("only joint-transmission actuators supported")
         jid = int(m.actuator_trnid[a, 0])
-        if int(m.jnt_type[jid]) in (FREE, BALL):
-            raise NotImplementedError(
-                "actuators on free/ball joints not supported (the single-dof "
-                "gain/bias model below would silently actuate one dof)")
+        jt_a = int(m.jnt_type[jid])
+        a_ndof = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}[jt_a]
+        if a_ndof > 1:
+            # multi-dof transmission: qfrc[dofs] += gear[:ndof] * force.
+            # MuJoCo defines actuator length only through the gear
+            # projection of joint position, which is 0 for ball/free —
+            # support force-type (motor) gain/bias only, where length
+            # never enters
+            if (float(m.actuator_biasprm[a, 1]) != 0.0
+                    or float(m.actuator_biasprm[a, 0]) != 0.0):
+                raise NotImplementedError(
+                    "position/bias actuators on free/ball joints not "
+                    "supported (motor-type only)")
         actuators.append(
             Actuator(
                 dofadr=int(m.jnt_dofadr[jid]),
@@ -413,6 +444,8 @@ def build_from_mjcf(
                 ctrlrange=m.actuator_ctrlrange[a].copy(),
                 forcelimited=bool(m.actuator_forcelimited[a]),
                 forcerange=m.actuator_forcerange[a].copy(),
+                ndof=a_ndof,
+                gear6=m.actuator_gear[a].copy(),
             )
         )
 
@@ -426,8 +459,17 @@ def build_from_mjcf(
         gt = gt_orig
         if gt == GEOM_CYLINDER:
             gt = GEOM_CAPSULE  # inscribed-capsule approximation (see Geom)
-        if gt not in (GEOM_PLANE, GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX):
+        if gt not in (GEOM_PLANE, GEOM_SPHERE, GEOM_CAPSULE, GEOM_BOX,
+                      GEOM_MESH):
             raise NotImplementedError(f"geom type {gt} not supported")
+        mesh_verts = None
+        if gt == GEOM_MESH:
+            did = int(m.geom_dataid[g])
+            va, vn = int(m.mesh_vertadr[did]), int(m.mesh_vertnum[did])
+            # mesh vertices are stored in the mesh frame = geom frame after
+            # the compiler re-centers them; plane-vs-mesh narrowphase ranks
+            # them by plane distance each step (contact.py)
+            mesh_verts = m.mesh_vert[va:va + vn].copy()
         geoms.append(
             Geom(
                 gtype=gt,
@@ -442,6 +484,7 @@ def build_from_mjcf(
                 margin=float(m.geom_margin[g]),
                 priority=int(m.geom_priority[g]),
                 condim=int(m.geom_condim[g]),
+                mesh_verts=mesh_verts,
             )
         )
         geom_orig_idx.append(g)
@@ -487,6 +530,13 @@ def build_from_mjcf(
                 g1, g2 = g2, g1
             if g1.gtype == GEOM_PLANE and g2.gtype == GEOM_PLANE:
                 continue
+            if g2.gtype == GEOM_MESH and g1.gtype != GEOM_PLANE:
+                # mesh narrowphase is plane-vs-mesh only (vertex ranking);
+                # refuse loudly rather than silently dropping a pair MuJoCo
+                # would resolve — exclude via contype/conaffinity instead
+                raise NotImplementedError(
+                    "mesh geoms collide only with planes (set "
+                    "contype/conaffinity to exclude mesh-vs-primitive pairs)")
             if g1.gtype != GEOM_PLANE and not include_self_collisions:
                 continue  # round-1: floor contacts only (dominant for locomotion)
             # friction / sol-parameter combination (mujoco mj_contactParam:
@@ -647,6 +697,29 @@ def build_from_mjcf(
                 dof_type_freer[jnt.dofadr + 3 + i] = 1.0
                 free_axis_idx[jnt.dofadr + 3 + i] = i
 
+    # --- ball-joint springs & rotation-angle limits -----------------------
+    ball_springs = []
+    ball_limits = []
+    for jnt in joints:
+        if jnt.jtype != BALL:
+            continue
+        if jnt.stiffness:
+            ball_springs.append((jnt.dofadr, jnt.qposadr,
+                                 float(jnt.stiffness),
+                                 tuple(float(x) for x in jnt.springref_quat)))
+        if jnt.limited:
+            # MuJoCo ball limit: total rotation angle <= max(|range|); the
+            # row's diagApprox regularizer uses the mean rotational
+            # invweight0 of the ball's dofs (triplet-averaged in MuJoCo)
+            meff_b = 1.0 / max(
+                float(np.mean(m.dof_invweight0[
+                    jnt.dofadr:jnt.dofadr + 3])), 1e-8)
+            ball_limits.append((jnt.dofadr, jnt.qposadr,
+                                float(np.max(np.abs(jnt.range))),
+                                tuple(float(x) for x in jnt.solref),
+                                tuple(float(x) for x in jnt.solimp),
+                                meff_b))
+
     return PhysicsModel(
         nq=nq, nv=nv, nu=nu, nbody=nbody,
         timestep=float(m.opt.timestep),
@@ -724,4 +797,9 @@ def build_from_mjcf(
         dof_invweight0=m.dof_invweight0.copy(),
         dof_solref=m.dof_solref.copy(),
         dof_solimp=m.dof_solimp.copy(),
+        act_single_idx=np.array(
+            [i for i, a in enumerate(actuators) if a.ndof == 1],
+            dtype=np.int32),
+        ball_springs=tuple(ball_springs),
+        ball_limits=tuple(ball_limits),
     )

