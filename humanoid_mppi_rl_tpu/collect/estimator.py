@@ -57,6 +57,81 @@ def humanoid_estimator_costs(goal_pos=(2.0, 0.0, 1.28), action_dim=21):
     return running, terminal
 
 
+def make_fd_time_augmented(base_dyn, nx: int, dt: float):
+    """Wrap a flat-state surrogate dynamics with [x_t; x_{t-1}; t_abs]
+    augmentation so estimator costs can finite-difference velocities and
+    keep an absolute gait clock across receding-horizon replans — the same
+    trick the reference's v2.py collector uses against the REAL plant
+    (src/Humanoid_datacollection_v2.py:68-83 FD velocities; the surrogate
+    state has no velocities at all, reference learning/train.py:36-45)."""
+
+    def dyn(x_aug, u, t):
+        x = x_aug[..., :nx]
+        tau = x_aug[..., 2 * nx:]
+        nxt = base_dyn(x, u, t)
+        return jnp.concatenate([nxt, x, tau + dt], axis=-1)
+
+    def augment_state(x, t_abs):
+        return jnp.concatenate([x, x, jnp.reshape(t_abs, (1,))])
+
+    return dyn, augment_state
+
+
+def humanoid_gait_estimator_costs(goal_pos=(3.0, 0.0, 1.28), nx: int = 30,
+                                  dt: float = 0.005,
+                                  target_vel: float = 0.35,
+                                  gait_period: float = 0.9,
+                                  foot_lift: float = 0.10,
+                                  w_vel=10.0, w_height=22.0, w_orient=17.0,
+                                  w_goal=1.0, w_lat=2.0, w_gait=60.0,
+                                  w_ctrl=0.1):
+    """Gait-shaped cost over the FD/time-augmented humanoid surrogate state
+    [qpos(28); foot_l_z; foot_r_z; prev...; t_abs].
+
+    Round-3's estimator loop used a bare goal-distance cost and the
+    surrogate-planned humanoid just stood (0.105 m/100 steps): on the TRUE
+    dynamics the humanoid also only walks under gait-shaped costs
+    (costs/humanoid.WEIGHTS_WALK), so the surrogate planner gets the same
+    treatment — forward-velocity tracking from FD root x, a time-phased
+    alternating foot-lift clock on the two predicted foot heights (v1 gait
+    semantics, reference src/Humanoid_mppi.jl:76-98), orientation/height
+    anchors from the predicted quaternion."""
+    import math
+
+    goal = jnp.asarray(goal_pos)
+    om = 2.0 * math.pi / gait_period
+
+    def running(x_aug, u, t):
+        x = x_aug[..., :nx]
+        xp = x_aug[..., nx:2 * nx]
+        tau = x_aug[..., 2 * nx]
+        vx = (x[..., 0] - xp[..., 0]) / dt
+        vy = (x[..., 1] - xp[..., 1]) / dt
+        qw, qx, qy, qz = x[..., 3], x[..., 4], x[..., 5], x[..., 6]
+        roll = jnp.arctan2(2 * (qw * qx + qy * qz),
+                           1 - 2 * (qx * qx + qy * qy))
+        pitch = jnp.arcsin(jnp.clip(2 * (qw * qy - qz * qx), -1.0, 1.0))
+        fl, fr = x[..., 28], x[..., 29]
+        s = jnp.sin(om * tau)
+        tl = 0.07 + foot_lift * jnp.maximum(s, 0.0)
+        tr = 0.07 + foot_lift * jnp.maximum(-s, 0.0)
+        c = w_vel * (vx - target_vel) ** 2 + w_vel * vy ** 2
+        c += w_height * (x[..., 2] - goal[2]) ** 2
+        c += w_orient * (roll ** 2 + pitch ** 2)
+        c += w_lat * x[..., 1] ** 2
+        c += w_goal * jnp.sum((x[..., :2] - goal[:2]) ** 2, axis=-1)
+        c += w_gait * ((fl - tl) ** 2 + (fr - tr) ** 2)
+        c += w_ctrl * jnp.sum(u ** 2, axis=-1)
+        return c
+
+    def terminal(x_aug, t):
+        x = x_aug[..., :nx]
+        return 10.0 * (w_goal * jnp.sum((x[..., :2] - goal[:2]) ** 2, axis=-1)
+                       + w_height * (x[..., 2] - goal[2]) ** 2)
+
+    return running, terminal
+
+
 def quadruped_estimator_costs(goal_pos=(2.0, 0.0, 0.35), action_dim=12):
     """reference src/quadruped_mppi_estimator.py:48-55"""
     goal = jnp.asarray(goal_pos)
@@ -77,23 +152,32 @@ class EstimatorRunner:
                  cfg: MPPIConfig, running, terminal,
                  state_slice: Optional[int] = None, seed: int = 0,
                  state_fn: Optional[Callable] = None,
-                 batched_dynamics: bool = False):
+                 batched_dynamics: bool = False,
+                 fd_time_augment: Optional[int] = None):
         """`state_fn(plant) -> x` overrides the default [qpos; qvel]
         estimator state (e.g. the humanoid surrogate plans on
         [qpos; foot heights] — the 30 columns it was trained on).
         `batched_dynamics=True` routes rollouts through
         rollout_costs_batched for Pallas-kernel surrogates
-        (ops/estimator_kernel)."""
+        (ops/estimator_kernel).
+        `fd_time_augment=nx` wraps the surrogate in the
+        [x; x_prev; t_abs] augmentation (make_fd_time_augmented) so the
+        cost can FD velocities and keep an absolute gait clock."""
         # full-fidelity plant: coupled constraint tier + body-body contacts
         # (the reference's evaluation plant is MuJoCo itself)
         self.plant_model = build_from_mjcf(asset_path,
                                            include_self_collisions=True)
         self.cfg = cfg
         net_dyn = make_learned_dynamics(apply_fn, params, state_slice=state_slice)
-        plan = make_mppi(net_dyn, running, cfg, terminal_fn=terminal,
-                         batched_dynamics=batched_dynamics)
         plant_model = self.plant_model
         extract = state_fn or (lambda plant: flat_state_from_physics(plant))
+        if fd_time_augment is not None:
+            net_dyn, _augment = make_fd_time_augmented(
+                net_dyn, fd_time_augment, float(plant_model.timestep))
+            base_extract = extract
+            extract = lambda plant: _augment(base_extract(plant), plant.time)
+        plan = make_mppi(net_dyn, running, cfg, terminal_fn=terminal,
+                         batched_dynamics=batched_dynamics)
 
         def control_step(ms: MPPIState, plant_state):
             x = extract(plant_state)

@@ -386,15 +386,43 @@ def quadruped_jl(model: PhysicsModel, target_vel_x=0.5):
 
 
 def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0,
-           w_pitch=4.0, w_pitch_rate=0.3):
-    """see costs/hopper.py (new task)."""
+           w_pitch=4.0, w_pitch_rate=0.3, param_gait: bool = False):
+    """see costs/hopper.py (new task).
+
+    param_gait=True reads runtime shaping DELTAS from ctx.params (zero ==
+    the baked cost exactly; same design as the quadruped/humanoid gaits):
+      4: d_target_vel_x
+      5: w_land — landing-preparation penalty: squared excess descent
+         speed, gated on the torso being low. The decoupled penalty
+         planner over-trusts hard single-foot landings (the r3-diagnosed
+         hopper failure mode) — penalizing fast low-altitude descent makes
+         the planner arrive at touchdown at speeds where its contact model
+         and the coupled plant agree.
+      6: d_log_w_pitch (scales w_pitch AND w_pitch_rate)
+      7: d_knee_w — knee-angle anchor toward mid-range (landing readiness)
+    """
 
     def running(ctx: StepContext, t):
         q, v, u = ctx.qpos, ctx.qvel, ctx.ctrl
-        cost = 2.0 * (v[0] - target_vel_x) ** 2
+        if param_gait:
+            p = ctx.params
+            d_vel, w_land = p[4], p[5]
+            pitch_scale = jnp.exp(p[6])
+            w_knee = p[7]
+        else:
+            d_vel, w_land, pitch_scale, w_knee = 0.0, 0.0, 1.0, 0.0
+        cost = 2.0 * (v[0] - (target_vel_x + d_vel)) ** 2
         cost = cost + 5.0 * jnp.maximum(target_height - 0.3 - q[1] - 1.0, 0.0) ** 2
-        cost = cost + w_pitch * q[2] ** 2 + w_pitch_rate * v[2] ** 2
+        cost = cost + (w_pitch * q[2] ** 2 + w_pitch_rate * v[2] ** 2) * pitch_scale
         cost = cost + 0.01 * _sumsq(u)
+        if param_gait:
+            # landing prep: torso absolute z = 1 + q[1]; gate in [0,1]
+            # below 0.85 m, penalize descent speed beyond 0.4 m/s
+            gate = jnp.clip((0.85 - (q[1] + 1.0)) * 4.0, 0.0, 1.0)
+            over = jnp.maximum(-v[1] - 0.4, 0.0)
+            cost = cost + w_land * gate * over * over
+            # knee anchored near mid-range (~1.2 rad) for touchdown
+            cost = cost + w_knee * (q[5] - 1.2) ** 2
         return cost
 
     def terminal(ctx):

@@ -77,6 +77,13 @@ def main():
     ap.add_argument("--target-vel", type=float, default=None)
     ap.add_argument("--sigma", type=float, default=None)
     ap.add_argument("--save", default="")
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep landing-preparation param deltas "
+                         "(ops/kernel_costs.hopper param_gait) on ONE "
+                         "compiled program")
+    ap.add_argument("--params", type=float, nargs="+", default=None,
+                    help="explicit param vector [d_vel, w_land, "
+                         "d_log_w_pitch, d_knee_w, lsig] for a single run")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -86,14 +93,17 @@ def main():
 
     from humanoid_mppi_rl_tpu.collect.runner import EpisodeRunner
 
-    cost_kw = ({"target_vel_x": args.target_vel}
-               if args.target_vel is not None else None)
+    cost_kw = dict({"target_vel_x": args.target_vel}
+                   if args.target_vel is not None else {})
+    use_params = args.sweep or args.params is not None
+    if use_params:
+        cost_kw["param_gait"] = True
     mppi_kw = {"n_samples": args.k, "horizon": args.horizon}
     if args.sigma is not None:
         mppi_kw["sigma"] = args.sigma
     runner = EpisodeRunner(
         "hopper", use_kernel=True, block_k=args.block_k,
-        cost_kwargs_override=cost_kw,
+        cost_kwargs_override=cost_kw or None,
         mppi_override=mppi_kw,
     )
     foot = runner.model.body_id("foot")
@@ -104,9 +114,39 @@ def main():
     def fall_fn(qpos, p):
         return (qpos[1] < -0.55) | ~jnp.isfinite(qpos[1])   # torso below .45 m
 
+    def P(d_vel=0.0, w_land=0.0, d_lw_pitch=0.0, d_knee_w=0.0, lsig=0.0):
+        v = np.zeros(13, np.float32)
+        v[4], v[5], v[6], v[7], v[11] = d_vel, w_land, d_lw_pitch, d_knee_w, lsig
+        return v
+
+    if args.sweep:
+        import math
+        configs = {
+            "baseline": P(),
+            "land20": P(w_land=20.0),
+            "land60": P(w_land=60.0),
+            "land20_knee2": P(w_land=20.0, d_knee_w=2.0),
+            "land60_sig07": P(w_land=60.0, lsig=math.log(0.7)),
+            "land20_pitch2x": P(w_land=20.0, d_lw_pitch=math.log(2.0)),
+            "sig07": P(lsig=math.log(0.7)),
+            "land60_knee2_sig07": P(w_land=60.0, d_knee_w=2.0,
+                                    lsig=math.log(0.7)),
+        }
+        for name, pv in configs.items():
+            res = runner.run(max_steps=args.steps, seed=args.seed,
+                             state_row_fn=state_row, fall_fn=fall_fn,
+                             chunk=args.chunk, params=pv)
+            rows = np.asarray(res.logger.states)
+            times = np.asarray(res.logger.times)
+            out = {"name": name, "fell": bool(res.fell)}
+            out.update(hop_metrics(rows, times))
+            print(json.dumps(out), flush=True)
+        return
+
+    pv = P(*args.params) if args.params is not None else None
     res = runner.run(max_steps=args.steps, seed=args.seed,
                      state_row_fn=state_row, fall_fn=fall_fn,
-                     chunk=args.chunk)
+                     chunk=args.chunk, params=pv)
     rows = np.asarray(res.logger.states)
     times = np.asarray(res.logger.times)
     if args.save:
@@ -115,7 +155,7 @@ def main():
                             actions=np.asarray(res.logger.actions),
                             times=times)
     out = {"K": args.k, "H": args.horizon, "seed": args.seed,
-           "fell": bool(res.fell)}
+           "fell": bool(res.fell), "params": None if pv is None else pv.tolist()}
     out.update(hop_metrics(rows, times))
     print(json.dumps(out))
 
