@@ -145,6 +145,53 @@ def quadruped_estimator_costs(goal_pos=(2.0, 0.0, 0.35), action_dim=12):
     return running, terminal
 
 
+def quadruped_gait_estimator_costs(home12, goal_xy=(2.0, 0.0), nx: int = 37,
+                                   target_vel: float = 0.45,
+                                   w_home: float = 3000.0):
+    """The trot cost that demonstrably works on the TRUE Go1 plant
+    (costs/quadruped.make_costs + GAIT_TUNED shaping), evaluated on the
+    surrogate's predicted [qpos(19); qvel(18)] state over the FD/time
+    augmentation — the reference's estimator cost is bare goal distance
+    (src/quadruped_mppi_estimator.py:48-55), under which the surrogate
+    planner just stands. `home12` is the home-keyframe leg pose
+    (model.keyframes['home'][7:19])."""
+    import math
+
+    gx, gy = float(goal_xy[0]), float(goal_xy[1])
+    home = jnp.asarray(home12)
+
+    def running(x_aug, u, t):
+        x = x_aug[..., :nx]
+        tau = x_aug[..., 2 * nx]
+        q = x[..., :19]
+        v = x[..., 19:37]
+        phase = (tau % 0.5) / 0.5 * 2 * math.pi
+        trot = jnp.sin(phase)
+        tv = target_vel + 0.1 * jnp.sin(phase)
+        c = 10000.0 * (q[..., 2] - 0.4) ** 2          # GAIT_TUNED w_height
+        c += 30000.0 * (v[..., 0] - tv) ** 2
+        c += 500.0 * (q[..., 6] ** 2 + q[..., 7] ** 2)   # [sic] reference idx
+        c += 20.0 * jnp.sum(v[..., 6:9] ** 2, axis=-1)
+        c += 50000.0 * (q[..., 1] ** 2 + v[..., 1] ** 2)
+        c += 0.01 * jnp.sum(u ** 2, axis=-1)
+        c += 3000.0 * ((q[..., 0] - gx) ** 2 + (q[..., 1] - gy) ** 2)
+        f1 = (q[..., 2] - q[..., 11]) * trot          # [sic] reference idx
+        f2 = (q[..., 5] - q[..., 8]) * (-trot)
+        c += 34000.0 * (f1 * f1 + f2 * f2)
+        c += w_home * jnp.sum((q[..., 7:19] - home) ** 2, axis=-1)
+        nk = 0.5
+        c += 2000.0 * ((q[..., 2] - nk) ** 2 + (q[..., 5] - nk) ** 2
+                       + (q[..., 8] - nk) ** 2 + (q[..., 11] - nk) ** 2)
+        c += 5.0 * jnp.sum(q[..., 0:12] ** 2, axis=-1)
+        return c
+
+    def terminal(x_aug, t):
+        x = x_aug[..., :nx]
+        return 10.0 * 3000.0 * ((x[..., 0] - gx) ** 2 + (x[..., 1] - gy) ** 2)
+
+    return running, terminal
+
+
 class EstimatorRunner:
     """Plan on the surrogate; execute on the engine plant."""
 

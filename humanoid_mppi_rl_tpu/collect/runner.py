@@ -46,8 +46,20 @@ class EpisodeRunner:
                  cost_kwargs_override: Optional[dict] = None,
                  mppi_override: Optional[dict] = None,
                  use_kernel: bool = False,
-                 block_k: int = 1024):
+                 block_k: int = 1024,
+                 planner_solver: Optional[str] = None):
+        """`planner_solver="coupled"` plans rollouts on the full coupled
+        constraint tier instead of the default decoupled penalty tier —
+        expensive (array engine, no Pallas kernel) but planner==plant, for
+        tasks where the penalty tier's contact approximation is the failure
+        mode (hard hopper landings, round-3 PERF.md)."""
         spec, model, dynamics, running, terminal, init_state, cfg = load_task(task_name)
+        if planner_solver is not None and planner_solver != "penalty":
+            if use_kernel:
+                raise ValueError("kernel path implements the penalty tier "
+                                 "only; coupled planning is array-engine")
+            from ..dynamics.physics import make_physics_dynamics
+            dynamics = make_physics_dynamics(model, solver=planner_solver)
         kw = dict(spec.cost_kwargs)
         if cost_kwargs_override:
             kw.update(cost_kwargs_override)

@@ -9,7 +9,9 @@ import jax.numpy as jnp
 
 
 def make_costs(model, target_vel_x=1.0, target_height=1.0,
-               w_pitch=4.0, w_pitch_rate=0.3):
+               w_pitch=4.0, w_pitch_rate=0.3, **_kernel_only):
+    # _kernel_only: param_gait etc. — runtime-delta flags consumed by the
+    # kernel twin (ops/kernel_costs.hopper); ignored by this jnp oracle
     def running(state, u, t):
         qpos, qvel = state.qpos, state.qvel
         # planar root: qpos = [rootx, rootz, rooty, waist, hip, knee, ankle]

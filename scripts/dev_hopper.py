@@ -84,6 +84,11 @@ def main():
     ap.add_argument("--params", type=float, nargs="+", default=None,
                     help="explicit param vector [d_vel, w_land, "
                          "d_log_w_pitch, d_knee_w, lsig] for a single run")
+    ap.add_argument("--planner", default="kernel",
+                    choices=["kernel", "coupled"],
+                    help="'coupled' plans rollouts on the full coupled "
+                         "constraint tier (array engine, planner==plant) — "
+                         "the round-3 diagnosed fix for mis-landings")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -102,9 +107,11 @@ def main():
     if args.sigma is not None:
         mppi_kw["sigma"] = args.sigma
     runner = EpisodeRunner(
-        "hopper", use_kernel=True, block_k=args.block_k,
+        "hopper", use_kernel=(args.planner == "kernel"),
+        block_k=args.block_k,
         cost_kwargs_override=cost_kw or None,
         mppi_override=mppi_kw,
+        planner_solver=("coupled" if args.planner == "coupled" else None),
     )
     foot = runner.model.body_id("foot")
 
