@@ -399,7 +399,13 @@ def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0,
          the planner arrive at touchdown at speeds where its contact model
          and the coupled plant agree.
       6: d_log_w_pitch (scales w_pitch AND w_pitch_rate)
-      7: d_knee_w — knee-angle anchor toward mid-range (landing readiness)
+      7: d_knee_w — knee-angle anchor toward 1.2 + slot9 rad (landing
+         readiness / anti-crouch: the observed failure mode is landing,
+         staying crouched at knee ~2 rad, and pitching over)
+      8: w_clock — hop-clock term: track a sinusoid torso-height profile
+         z*(tau) = 0.92 + 0.18 sin(2 pi tau / 0.75 s), forcing a periodic
+         rebound instead of the ad-hoc hops that die out
+      9: d_knee_anchor — shifts the knee anchor angle
     """
 
     def running(ctx: StepContext, t):
@@ -409,8 +415,10 @@ def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0,
             d_vel, w_land = p[4], p[5]
             pitch_scale = jnp.exp(p[6])
             w_knee = p[7]
+            w_clock, d_anchor = p[8], p[9]
         else:
             d_vel, w_land, pitch_scale, w_knee = 0.0, 0.0, 1.0, 0.0
+            w_clock, d_anchor = 0.0, 0.0
         cost = 2.0 * (v[0] - (target_vel_x + d_vel)) ** 2
         cost = cost + 5.0 * jnp.maximum(target_height - 0.3 - q[1] - 1.0, 0.0) ** 2
         cost = cost + (w_pitch * q[2] ** 2 + w_pitch_rate * v[2] ** 2) * pitch_scale
@@ -421,8 +429,11 @@ def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0,
             gate = jnp.clip((0.85 - (q[1] + 1.0)) * 4.0, 0.0, 1.0)
             over = jnp.maximum(-v[1] - 0.4, 0.0)
             cost = cost + w_land * gate * over * over
-            # knee anchored near mid-range (~1.2 rad) for touchdown
-            cost = cost + w_knee * (q[5] - 1.2) ** 2
+            # knee anchored near mid-range for touchdown / anti-crouch
+            cost = cost + w_knee * (q[5] - (1.2 + d_anchor)) ** 2
+            # hop clock: periodic torso-height target (absolute z)
+            zstar = 0.92 + 0.18 * jnp.sin(ctx.time * (2 * np.pi / 0.75))
+            cost = cost + w_clock * (q[1] + 1.0 - zstar) ** 2
         return cost
 
     def terminal(ctx):

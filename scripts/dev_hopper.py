@@ -37,10 +37,17 @@ def hop_metrics(rows: np.ndarray, times: np.ndarray):
 
     clearance = 0.09                # foot CENTER height in flight (radius .04)
     in_flight = foot_z > clearance
+    # BALLISTIC flight: the foot-center test alone miscounts toe-standing
+    # (a capsule foot's center sits high while an endpoint still touches);
+    # true flight also has the torso in free fall, d(vz)/dt ~ -g
+    vz = rows[:, 8]
+    dt = float(np.median(np.diff(times))) if len(times) > 1 else 0.005
+    az = np.gradient(vz, dt)
+    ballistic = in_flight & (np.abs(az + 9.81) < 4.0)
     # count flight phases with >= 3 consecutive airborne steps (15 ms)
     hops, run = 0, 0
     flight_steps = 0
-    for f in in_flight:
+    for f in ballistic:
         if f:
             run += 1
             flight_steps += 1
@@ -62,6 +69,7 @@ def hop_metrics(rows: np.ndarray, times: np.ndarray):
         "hops": int(hops),
         "hops_per_s": round(hops / dur, 2),
         "flight_frac": round(float(in_flight.mean()), 3),
+        "ballistic_frac": round(float(ballistic.mean()), 3),
         "max_foot_z": round(float(foot_z.max()), 3),
     }
 
@@ -84,6 +92,13 @@ def main():
     ap.add_argument("--params", type=float, nargs="+", default=None,
                     help="explicit param vector [d_vel, w_land, "
                          "d_log_w_pitch, d_knee_w, lsig] for a single run")
+    ap.add_argument("--spec", default="",
+                    help='JSON {"name": {P-kwargs}} replacing the built-in '
+                         "sweep table")
+    ap.add_argument("--fall-z", type=float, default=0.45,
+                    help="abort when torso absolute z drops below this; "
+                         "0.45 kills legitimate deep stance compressions "
+                         "(every sweep run 'fell' at exactly z=0.45)")
     ap.add_argument("--planner", default="kernel",
                     choices=["kernel", "coupled"],
                     help="'coupled' plans rollouts on the full coupled "
@@ -118,27 +133,40 @@ def main():
     def state_row(st):
         return jnp.concatenate([st.qpos, st.qvel, st.xpos[foot, 2][None]])
 
-    def fall_fn(qpos, p):
-        return (qpos[1] < -0.55) | ~jnp.isfinite(qpos[1])   # torso below .45 m
+    thr = args.fall_z - 1.0   # qpos[1] is the offset from z = 1 m
 
-    def P(d_vel=0.0, w_land=0.0, d_lw_pitch=0.0, d_knee_w=0.0, lsig=0.0):
+    def fall_fn(qpos, p):
+        return (qpos[1] < thr) | ~jnp.isfinite(qpos[1])
+
+    def P(d_vel=0.0, w_land=0.0, d_lw_pitch=0.0, d_knee_w=0.0, lsig=0.0,
+          w_clock=0.0, d_anchor=0.0):
         v = np.zeros(13, np.float32)
         v[4], v[5], v[6], v[7], v[11] = d_vel, w_land, d_lw_pitch, d_knee_w, lsig
+        v[8], v[9] = w_clock, d_anchor
         return v
 
     if args.sweep:
         import math
+        # round-2 of the sweep: the fall anatomy (artifacts/hopper_k4096,
+        # last 0.5 s) is land -> stay crouched at knee ~2 rad -> pitch
+        # over; landing-speed shaping alone softened impacts but did not
+        # prevent it, and the coupled-tier planner fell identically — the
+        # cost never DEMANDS a rebound. Attack with a hop clock (periodic
+        # torso-height target) and a strong anti-crouch knee anchor.
         configs = {
-            "baseline": P(),
-            "land20": P(w_land=20.0),
-            "land60": P(w_land=60.0),
-            "land20_knee2": P(w_land=20.0, d_knee_w=2.0),
-            "land60_sig07": P(w_land=60.0, lsig=math.log(0.7)),
-            "land20_pitch2x": P(w_land=20.0, d_lw_pitch=math.log(2.0)),
-            "sig07": P(lsig=math.log(0.7)),
-            "land60_knee2_sig07": P(w_land=60.0, d_knee_w=2.0,
-                                    lsig=math.log(0.7)),
+            "clock30": P(w_clock=30.0),
+            "clock80": P(w_clock=80.0),
+            "knee20": P(d_knee_w=20.0),
+            "knee60_a-02": P(d_knee_w=60.0, d_anchor=-0.2),
+            "clock30_knee20": P(w_clock=30.0, d_knee_w=20.0),
+            "clock80_knee20_land20": P(w_clock=80.0, d_knee_w=20.0,
+                                       w_land=20.0),
+            "clock30_pitch3x": P(w_clock=30.0, d_lw_pitch=math.log(3.0)),
+            "clock80_knee60": P(w_clock=80.0, d_knee_w=60.0),
         }
+        if args.spec:
+            configs = {name: P(**kw)
+                       for name, kw in json.loads(args.spec).items()}
         for name, pv in configs.items():
             res = runner.run(max_steps=args.steps, seed=args.seed,
                              state_row_fn=state_row, fall_fn=fall_fn,
