@@ -102,7 +102,13 @@ TASKS = {
             cost_kwargs=dict(humanoid_cost.WEIGHTS_WALK,
                              target=(10.0, 0.0, 1.28),
                              w_height=22.0, w_orient=17.0, w_goal_xy=1.0,
-                             w_clearance=1.0, w_foot_lift=10.0)),
+                             w_clearance=1.0, w_foot_lift=10.0,
+                             # round-4 stride continuation (sv020_fast01):
+                             # swing-foot velocity reward + 0.4 m/s target
+                             # turn the round-3 shuffle seeds into strides
+                             # — 6/6 seeds at double-support < 0.25,
+                             # speeds 0.27-0.66 m/s (dev_gait_sweep)
+                             w_swing_vel=0.20, target_vel=(0.4, 0.0))),
         # reference src/Humanoid_datacollection_v2.py:37-40 — FD-velocity
         # cost, hysteresis gait phase, double replan per control step
         _mk("humanoid_collect_v2py", "humanoid.xml",

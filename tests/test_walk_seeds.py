@@ -49,8 +49,27 @@ def test_seed_trajectories_rescore():
         assert m["nan_step"] is None, (r["seed"], m)
         assert m["x_progress_m"] > 0.5, (r["seed"], m)
         assert m["torso_z_min"] > 0.9, (r["seed"], m)
-        # hysteresis-committed swing switches: measured 1-5 across the six
-        # seeds (shuffle-walk seeds log fewer committed switches)
-        assert m["foot_switches"] >= 1, (r["seed"], m)
         # committed summary matches a fresh re-score
         assert abs(m["x_progress_m"] - r["x_progress_m"]) < 1e-6
+
+
+def test_seed_trajectories_stride_not_shuffle():
+    """Round-3 VERDICT weak-5: 'the walking evidence tolerates shuffling'
+    (a seed with double_support_frac 1.0 passed). The round-4 stride
+    continuation (humanoid_walk preset: +0.20 swing-foot velocity reward,
+    0.4 m/s target — envs/tasks.py) must make EVERY seed commit true
+    swing phases: bounded double support, recurring committed switches,
+    and real speed."""
+    from dev_gait import gait_metrics
+
+    s = _summary()
+    speeds = []
+    for r in s["runs"]:
+        data = np.load(os.path.join(DIR, f"seed{r['seed']}.npz"))
+        m = gait_metrics(data["states"], data["times"])
+        assert m["double_support_frac"] < 0.5, (r["seed"], m)
+        assert m["foot_switches"] >= 2, (r["seed"], m)
+        assert m["mean_speed_mps"] > 0.2, (r["seed"], m)
+        speeds.append(m["mean_speed_mps"])
+    # fleet speed midpoint pushes toward the reference's 0.5 m/s target
+    assert np.mean(speeds) > 0.35, speeds
