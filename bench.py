@@ -74,6 +74,19 @@ def _bench_primary(K, H, task, iters, batches):
     # block through remote-device tunnels
     compile_s = time.perf_counter() - t0
 
+    # tunnel host-fetch latency (amortized into every batch: one fetch per
+    # `iters` replans — kept identical to the r1-r3 methodology so the
+    # trend is comparable; reported so readers can subtract it)
+    import statistics as _st
+    tiny = jax.jit(lambda v: jnp.sin(v))
+    _ = np.asarray(tiny(jnp.float32(0)))
+    fetch = []
+    for i in range(5):
+        f0 = time.perf_counter()
+        _ = np.asarray(tiny(jnp.float32(i)))  # fresh device value each time
+        fetch.append((time.perf_counter() - f0) * 1e3)
+    fetch_ms = _st.median(fetch)
+
     # chained timing: each replan consumes the previous MPPIState, so the
     # sequence is serialized on device; one host fetch per batch
     batch_ms = []
@@ -92,6 +105,7 @@ def _bench_primary(K, H, task, iters, batches):
         "contention": spread > 0.12,
         "batch_spread": round(spread, 3),
         "compile_s": round(compile_s, 1),
+        "host_fetch_ms_est": round(fetch_ms, 1),
         "sim_dt": model.timestep,
     }
 
@@ -164,7 +178,10 @@ def main():
     K = int(os.environ.get("BENCH_K", "8192"))
     H = int(os.environ.get("BENCH_H", "64"))
     task = os.environ.get("BENCH_TASK", "humanoid_collect")
-    iters = int(os.environ.get("BENCH_ITERS", "15"))
+    # 30 chained iters per host fetch = the r1-r3 methodology; the tunnel
+    # fetch costs ~25 ms, so shorter batches inflate per-replan latency
+    # (measured: 15-iter batches read 4.97 ms where 30-iter reads ~4.1)
+    iters = int(os.environ.get("BENCH_ITERS", "30"))
     batches = int(os.environ.get("BENCH_BATCHES", "4"))
 
     import jax
