@@ -131,14 +131,26 @@ class MultiTrajectoryDataset(_PairDataset):
                  return_type: str = "delta", eval_split: float = 0.1,
                  split: str = "random", normalize: bool = False,
                  smooth_window: int = 0, noise_std: float = 0.0,
-                 state_idxes: Optional[Sequence[int]] = None, seed: int = 0):
+                 state_idxes: Optional[Sequence[int]] = None, seed: int = 0,
+                 rollout_k: int = 1):
+        """`rollout_k > 1` additionally builds within-trajectory
+        windows for multi-step rollout training (TrainConfig.rollout_k):
+        win_states (W, k+1, sdim) raw states and win_actions (W, k, adim),
+        with their own random train/eval split. The measured motivation
+        (PERF.md 'the surrogate ceiling'): one-step-delta training gives
+        models whose open-loop composition diverges — a k-step rollout
+        loss trains exactly the quantity the estimator MPPI consumes.
+        Requires return_type='delta' (the loss composes x + net(x, u))."""
         super().__init__()
+        if rollout_k > 1 and return_type != "delta":
+            raise ValueError("rollout_k > 1 requires return_type='delta'")
         s_files = sorted(glob.glob(os.path.join(states_dir, "*.csv")))
         a_files = sorted(glob.glob(os.path.join(actions_dir, "*.csv")))
         if len(s_files) != len(a_files):
             raise ValueError(
                 f"mismatched trajectory counts: {len(s_files)} vs {len(a_files)}")
         xs, ys = [], []
+        wss, was = [], []
         for sf, af in zip(s_files, a_files):
             states = _read_csv(sf)
             actions = _read_csv(af)
@@ -151,6 +163,13 @@ class MultiTrajectoryDataset(_PairDataset):
             x, y = _build_pairs(states, actions, return_type, state_idxes)
             xs.append(x)
             ys.append(y)
+            if rollout_k > 1 and n > rollout_k:
+                st = states[:, list(state_idxes)] if state_idxes is not None \
+                    else states
+                w = n - rollout_k
+                widx = np.arange(w)[:, None]
+                wss.append(st[widx + np.arange(rollout_k + 1)])
+                was.append(actions[widx + np.arange(rollout_k)])
         if not xs:
             raise ValueError(f"no trajectories found in {states_dir}")
         self.n_trajectories = len(xs)
@@ -158,6 +177,17 @@ class MultiTrajectoryDataset(_PairDataset):
         y = np.concatenate(ys)
         self.noise_std = noise_std
         self._finalize(x, y, eval_split, split, seed, normalize)
+        self.rollout_k = rollout_k
+        self.win_states = self.win_actions = None
+        self.win_train_idx = self.win_eval_idx = None
+        if rollout_k > 1:
+            self.win_states = np.concatenate(wss).astype(np.float32)
+            self.win_actions = np.concatenate(was).astype(np.float32)
+            w = len(self.win_states)
+            perm = np.random.default_rng(seed).permutation(w)
+            n_eval = int(w * eval_split)
+            self.win_eval_idx = perm[w - n_eval:] if n_eval else np.zeros(0, int)
+            self.win_train_idx = perm[: w - n_eval]
 
     def sanity_check(self) -> dict:
         """NaN / all-zero-row scan (reference data_loader.py:320-333)."""

@@ -62,6 +62,12 @@ class TrainConfig:
     # latency: a 200-epoch humanoid run is ~400 device calls instead of
     # ~200k. Per-step TensorBoard scalars are skipped in this mode.
     scan_epochs: bool = False
+    # multi-step rollout loss: compose x_{j+1} = x_j + net(x_j, u_j) for
+    # rollout_k steps against the true window and average the MSEs — trains
+    # the open-loop composition the estimator MPPI consumes (the one-step
+    # scheme's compounding divergence is the measured surrogate ceiling,
+    # PERF.md). Requires scan_epochs and return_type='delta'.
+    rollout_k: int = 1
 
 
 PRESET_CONFIGS = {
@@ -231,6 +237,57 @@ def save_loss_curve(path: str, history) -> Optional[str]:
     return path
 
 
+def make_scanned_rollout_steps(apply_fn, S, A, k: int):
+    """Whole-epoch device programs over device-resident rollout windows:
+    S (W, k+1, sdim) raw states, A (W, k, adim). The loss rolls the model
+    open-loop with the logged actions and averages the per-step MSEs."""
+
+    def _rollout_loss(params, s_seq, a_seq, det, sub=None):
+        x = s_seq[:, 0]
+        tot = 0.0
+        for j in range(k):
+            inp = jnp.concatenate([x, a_seq[:, j]], axis=-1)
+            kw = ({"deterministic": True} if det
+                  else {"deterministic": False, "rngs": {"dropout": sub}})
+            x = x + apply_fn(params, inp, **kw)
+            tot = tot + jnp.mean((x - s_seq[:, j + 1]) ** 2)
+        return tot / k, x
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(state: TrainState, idx, key):
+        def body(carry, bidx):
+            st, kk = carry
+            kk, sub = jax.random.split(kk)
+            s_seq = jnp.take(S, bidx, axis=0)
+            a_seq = jnp.take(A, bidx, axis=0)
+
+            def loss_fn(params):
+                loss, _ = _rollout_loss(params, s_seq, a_seq, False, sub)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            return (st.apply_gradients(grads=grads), kk), loss
+
+        (state, _), losses = jax.lax.scan(body, (state, key), idx)
+        return state, jnp.mean(losses)
+
+    @jax.jit
+    def eval_all(params, idx):
+        def body(_, bidx):
+            s_seq = jnp.take(S, bidx, axis=0)
+            a_seq = jnp.take(A, bidx, axis=0)
+            loss, x = _rollout_loss(params, s_seq, a_seq, True)
+            diff = jnp.abs(x - s_seq[:, -1])
+            pct = diff / (jnp.abs(s_seq[:, -1]) + 1e-8)
+            return None, (loss, diff.mean(), diff.max(), pct.mean(),
+                          diff.mean(axis=0))
+
+        _, out = jax.lax.scan(body, None, idx)
+        return out
+
+    return train_epoch, eval_all
+
+
 def train_model(
     states_dir: str,
     actions_dir: str,
@@ -240,7 +297,8 @@ def train_model(
     """Full training run; returns summary metrics."""
     ds = MultiTrajectoryDataset(
         states_dir, actions_dir, return_type=cfg.return_type,
-        eval_split=cfg.eval_split, state_idxes=cfg.state_idxes, seed=cfg.seed)
+        eval_split=cfg.eval_split, state_idxes=cfg.state_idxes, seed=cfg.seed,
+        rollout_k=cfg.rollout_k)
     log = JSONLWriter(cfg.log_path or os.path.join(cfg.ckpt_dir, "metrics.jsonl"))
     tb = None
     try:  # TensorBoard parity when available (reference train.py:29-34)
@@ -250,12 +308,16 @@ def train_model(
         pass
 
     x0, _ = next(ds.batches(min(cfg.batch_size, len(ds.train_idx)), seed=cfg.seed))
-    steps_per_epoch = max(1, len(ds.train_idx) // cfg.batch_size)
+    train_pool = (ds.win_train_idx if cfg.rollout_k > 1 else ds.train_idx)
+    steps_per_epoch = max(1, len(train_pool) // cfg.batch_size)
     if max_steps_per_epoch:
         steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
     model, state = create_train_state(cfg, x0, steps_per_epoch)
     train_step, eval_step = make_steps(model.apply)
     key = jax.random.PRNGKey(cfg.seed + 1)
+
+    if cfg.rollout_k > 1 and not cfg.scan_epochs:
+        raise ValueError("rollout_k > 1 requires scan_epochs=True")
 
     scanned = None
     if cfg.scan_epochs and len(ds.train_idx) < cfg.batch_size:
@@ -263,7 +325,18 @@ def train_model(
         # reshape to (nb, batch_size) with too few indices; the host loop's
         # ds.batches handles short batches correctly
         cfg = dataclasses.replace(cfg, scan_epochs=False)
-    if cfg.scan_epochs:
+    if cfg.scan_epochs and cfg.rollout_k > 1:
+        S = jnp.asarray(ds.win_states)
+        A = jnp.asarray(ds.win_actions)
+        train_epoch_fn, eval_all_fn = make_scanned_rollout_steps(
+            model.apply, S, A, cfg.rollout_k)
+        B = cfg.batch_size
+        n_ev = len(ds.win_eval_idx) // B
+        eval_idx_dev = (jnp.asarray(
+            np.asarray(ds.win_eval_idx[: n_ev * B],
+                       np.int32).reshape(n_ev, B)) if n_ev else None)
+        scanned = (train_epoch_fn, eval_all_fn, eval_idx_dev)
+    elif cfg.scan_epochs:
         X = jnp.asarray(ds.inputs)
         Y = jnp.asarray(ds.targets)
         train_epoch_fn, eval_all_fn = make_scanned_steps(
@@ -290,9 +363,9 @@ def train_model(
             if scanned is not None:
                 train_epoch_fn, eval_all_fn, eval_idx_dev = scanned
                 rng = np.random.default_rng(cfg.seed + epoch)
-                perm = rng.permutation(len(ds.train_idx))
+                perm = rng.permutation(len(train_pool))
                 nb = steps_per_epoch
-                idx = np.asarray(ds.train_idx, np.int64)[
+                idx = np.asarray(train_pool, np.int64)[
                     perm[: nb * cfg.batch_size]].astype(np.int32)
                 idx = jnp.asarray(idx.reshape(nb, cfg.batch_size))
                 key, sub = jax.random.split(key)

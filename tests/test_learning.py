@@ -152,3 +152,62 @@ def test_train_scanned_epochs_converges(toy_dataset_dirs, tmp_path):
     out = train_model(sdir, adir, cfg)
     assert out["best_eval_loss"] < 0.08, out["best_eval_loss"]
     assert os.path.exists(out["best_checkpoint"])
+
+
+def test_rollout_k_training_runs_and_improves(tmp_path):
+    """Multi-step rollout loss (TrainConfig.rollout_k): the scanned trainer
+    composes x + net(x, u) for k steps against true windows — the training
+    contract that attacks the measured one-step-compounding ceiling
+    (PERF.md 'the surrogate ceiling')."""
+    import json
+
+    from humanoid_mppi_rl_tpu.learning.train import TrainConfig, train_model
+
+    rng = np.random.default_rng(0)
+    A = np.eye(4) * 0.95 + 0.02 * rng.normal(size=(4, 4))
+    B = 0.1 * rng.normal(size=(4, 1))
+    (tmp_path / "states").mkdir()
+    (tmp_path / "actions").mkdir()
+    for t in range(4):
+        x = rng.normal(size=4)
+        xs, us = [], []
+        for _ in range(100):
+            u = rng.normal(size=1)
+            xs.append(x.copy())
+            us.append(u)
+            x = A @ x + B @ u
+        np.savetxt(tmp_path / "states" / f"t{t}.csv", np.asarray(xs),
+                   delimiter=",")
+        np.savetxt(tmp_path / "actions" / f"t{t}.csv", np.asarray(us),
+                   delimiter=",")
+
+    cfg = TrainConfig(model_preset="cartpole_attention", lr=3e-4, epochs=6,
+                      batch_size=32, ckpt_dir=str(tmp_path / "ck"),
+                      scan_epochs=True, rollout_k=3,
+                      log_path=str(tmp_path / "m.jsonl"))
+    res = train_model(str(tmp_path / "states"), str(tmp_path / "actions"), cfg)
+    assert np.isfinite(res["best_eval_loss"])
+    epochs = [json.loads(l) for l in open(tmp_path / "m.jsonl")
+              if json.loads(l).get("kind") == "epoch"]
+    assert len(epochs) == 6
+    # the k-step rollout loss must actually train down
+    assert epochs[-1]["train_loss"] < epochs[0]["train_loss"]
+
+
+def test_rollout_k_requires_delta_and_scan(tmp_path):
+    from humanoid_mppi_rl_tpu.learning.data import MultiTrajectoryDataset
+    from humanoid_mppi_rl_tpu.learning.train import TrainConfig, train_model
+
+    (tmp_path / "states").mkdir()
+    (tmp_path / "actions").mkdir()
+    np.savetxt(tmp_path / "states" / "t.csv", np.zeros((10, 4)), delimiter=",")
+    np.savetxt(tmp_path / "actions" / "t.csv", np.zeros((10, 1)), delimiter=",")
+    with pytest.raises(ValueError, match="delta"):
+        MultiTrajectoryDataset(str(tmp_path / "states"),
+                               str(tmp_path / "actions"),
+                               return_type="raw", rollout_k=3)
+    with pytest.raises(ValueError, match="scan_epochs"):
+        train_model(str(tmp_path / "states"), str(tmp_path / "actions"),
+                    TrainConfig(model_preset="cartpole_attention", epochs=1,
+                                rollout_k=3, scan_epochs=False,
+                                ckpt_dir=str(tmp_path / "ck")))
