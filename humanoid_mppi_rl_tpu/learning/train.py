@@ -68,6 +68,11 @@ class TrainConfig:
     # scheme's compounding divergence is the measured surrogate ceiling,
     # PERF.md). Requires scan_epochs and return_type='delta'.
     rollout_k: int = 1
+    # global-norm gradient clip (0 = off). Practically required for
+    # rollout_k > 1: composing an untrained net k times explodes early
+    # gradients (measured: the humanoid retrain at lr=1e-3 diverged to
+    # 1e9 loss without it)
+    grad_clip: float = 0.0
 
 
 PRESET_CONFIGS = {
@@ -99,6 +104,8 @@ def create_train_state(cfg: TrainConfig, sample_input: np.ndarray,
     sched = optax.cosine_decay_schedule(
         cfg.lr, max(1, cfg.epochs * steps_per_epoch), alpha=cfg.lr_min / cfg.lr)
     tx = optax.adam(sched)
+    if cfg.grad_clip:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
     return model, TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 

@@ -26,6 +26,11 @@ import numpy as np
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="artifacts/full_pipeline/ckpt/model_best")
+    args = ap.parse_args()
+
     from humanoid_mppi_rl_tpu.envs.tasks import TASKS
     from humanoid_mppi_rl_tpu.learning.train import load_checkpoint
     from humanoid_mppi_rl_tpu.models.predictors import make_model
@@ -36,9 +41,7 @@ def main():
     F = net.state_dim + net.action_dim
     params0 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, F)),
                        deterministic=True)
-    params = load_checkpoint(
-        os.path.join(root, "artifacts/full_pipeline/ckpt/model_best"),
-        params0)
+    params = load_checkpoint(os.path.join(root, args.ckpt), params0)
 
     spec = TASKS["humanoid_collect"]
     pm = build_from_mjcf(spec.asset_path(), include_self_collisions=True)
