@@ -401,9 +401,20 @@ def build_from_mjcf(
                 pred_mask[jnt.dofadr + i] = ancestor_mask[b]
         elif jnt.jtype == BALL:
             # like the free joint's rotational block: S rows are columns of
-            # the post-joint rotation, carried by the full body velocity
+            # the post-joint rotation, carried by the velocity of the chain
+            # up to AND including the ball's own 3 dofs (the axes are fixed
+            # in the post-ball frame) — but NOT same-body dofs that come
+            # after it (e.g. a trailing slide), matching mj_comVel's
+            # dof-ordered cvel accumulation. ancestor_mask[b] would wrongly
+            # include those later dofs when the ball shares a body.
+            row = strict_anc.copy()
+            for other in body_joints[b]:
+                if other > jj:
+                    break
+                oj = joints[other]
+                row[oj.dofadr : oj.dofadr + oj.ndof] = 1.0
             for i in range(3):
-                pred_mask[jnt.dofadr + i] = ancestor_mask[b]
+                pred_mask[jnt.dofadr + i] = row
         else:
             row = strict_anc.copy()
             for other in body_joints[b]:

@@ -297,3 +297,62 @@ def test_ball_joint_limits_supported():
     (dofadr, qadr, max_angle, solref, solimp, meff) = pm.ball_limits[0]
     assert abs(max_angle - np.deg2rad(60)) < 1e-9
     assert meff > 0
+
+
+# bodies stacking several joints incl. a ball: hinge->ball->slide in one body
+# and ball->slide in its child. MuJoCo's compiler forbids ball-followed-by-
+# rotation in a body, so these are the legal multi-joint ball orderings
+# (ADVICE r3: the ball dofs' Sdot predecessor set must stop at the ball —
+# a trailing same-body slide must NOT enter its cdofdot, per mj_comVel's
+# dof-ordered cvel accumulation).
+MULTI_JOINT_BALL_XML = """
+<mujoco>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint type="hinge" axis="0 1 0" pos="0 0.02 0"/>
+      <joint type="ball" pos="0.05 0 0.1"/>
+      <joint type="slide" axis="0 0 1"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+      <body pos="0.3 0 0">
+        <joint type="ball" pos="0 0 0.01"/>
+        <joint type="slide" axis="1 0 0"/>
+        <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.03" mass="0.5"/>
+      </body>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_multi_joint_ball_body_parity():
+    """Bias forces and 5 full steps match MuJoCo when a ball joint shares a
+    body with other joints (regression: pred_mask used the whole-body
+    ancestor row for ball dofs, leaking a trailing slide's velocity into the
+    ball Sdot — 0.21 abs bias error on this model before the fix)."""
+    m = mujoco.MjModel.from_xml_string(MULTI_JOINT_BALL_XML)
+    pm = build_from_mjcf(xml=MULTI_JOINT_BALL_XML)
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(0)
+    qpos = m.qpos0.copy()
+    qpos[0] = 0.4
+    q = rng.normal(0, 0.3, 4)
+    qpos[1:5] = q / np.linalg.norm(q)
+    qpos[5] = 0.1
+    q = rng.normal(0, 0.3, 4)
+    qpos[6:10] = q / np.linalg.norm(q)
+    qpos[10] = -0.2
+    d.qpos[:] = qpos
+    d.qvel[:] = rng.normal(0, 0.5, m.nv)
+    mujoco.mj_forward(m, d)
+    xpos, xquat, S = eng._fk(pm, jnp.asarray(qpos))
+    I, xipos = eng._spatial_inertias(pm, xpos, xquat, jnp.float64)
+    qv = jnp.asarray(d.qvel.copy())
+    V = eng.body_velocities(pm, S, qv)
+    bias = eng.bias_forces(pm, S, I, V, qv)
+    np.testing.assert_allclose(np.asarray(bias), d.qfrc_bias, atol=1e-9)
+    st = forward(pm, jnp.asarray(qpos), qv)
+    for _ in range(5):
+        mujoco.mj_step(m, d)
+        st = step(pm, st, jnp.zeros(pm.nu))
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-10)
