@@ -384,11 +384,94 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
         t = jnp.where(use1, c1, c2)
         return t / jnp.linalg.norm(t)
 
+    def _prim_sdf(g, p_pos, p_R, world):
+        """Signed distance + outward gradient of a sphere/capsule/box geom
+        at each world point (V, 3). Gradient points from the primitive's
+        surface toward the point (into the mesh side)."""
+        size = jnp.asarray(g.size, dtype)
+        eps = jnp.asarray(1e-12, dtype)
+        if g.gtype == GEOM_SPHERE:
+            diff = world - p_pos[None, :]
+            d = jnp.linalg.norm(diff, axis=-1)
+            return d - size[0], diff / jnp.maximum(d, eps)[:, None]
+        if g.gtype == GEOM_CAPSULE:
+            hl = (jnp.maximum(size[1] - size[0], 0.0)
+                  if g.gtype_orig == 5 else size[1])  # inscribed cylinder
+            axis = p_R[:, 2]
+            t = jnp.clip((world - p_pos[None, :]) @ axis, -hl, hl)
+            diff = world - (p_pos[None, :] + t[:, None] * axis[None, :])
+            d = jnp.linalg.norm(diff, axis=-1)
+            return d - size[0], diff / jnp.maximum(d, eps)[:, None]
+        if g.gtype == GEOM_BOX:
+            u = (world - p_pos[None, :]) @ p_R                 # local coords
+            s = size[:3]
+            q = jnp.clip(u, -s, s)
+            diff = u - q                                       # 0 when inside
+            d = jnp.linalg.norm(diff, axis=-1)
+            # inside: distance to the nearest face (negative), gradient
+            # along that face's axis
+            face = jnp.abs(u) - s[None, :]                     # (V, 3) <= 0
+            j = jnp.argmax(face, axis=-1)
+            phi_in = jnp.max(face, axis=-1)
+            g_in = jax.nn.one_hot(j, 3, dtype=dtype) * jnp.sign(u)
+            out = d > 1e-9
+            phi = jnp.where(out, d, phi_in)
+            g_loc = jnp.where(out[:, None],
+                              diff / jnp.maximum(d, eps)[:, None], g_in)
+            return phi, g_loc @ p_R.T
+        raise NotImplementedError(f"mesh vs geom type {g.gtype}")
+
     for pair in model.contact_pairs:
         g1 = model.geoms[pair.geom1]
         g2 = model.geoms[pair.geom2]
+        if g2.gtype == GEOM_MESH and g1.gtype != GEOM_PLANE:
+            # primitive-vs-mesh: rank the mesh vertices by the primitive's
+            # signed distance (exact when the deepest feature is a mesh
+            # vertex — typical for decimated collision hulls; a primitive
+            # face pressing into a large flat mesh facet is under-resolved,
+            # documented). One side must be world-static: the row machinery
+            # here carries a single dynamic body (two-dynamic-body pairs
+            # live in _self_rows, which has no mesh narrowphase).
+            if g1.bodyid != 0 and g2.bodyid != 0:
+                raise NotImplementedError(
+                    "mesh-vs-primitive needs one world-attached geom "
+                    "(both dynamic: exclude via contype/conaffinity)")
+            if g1.bodyid == 0 and g2.bodyid == 0:
+                continue  # both static: no dynamics to resolve
+            mu_m = pair.mu if pair.condim > 1 else 0.0
+            p_pos, p_R = _geom_world(model, state, pair.geom1, dtype)
+            g_pos, g_R = _geom_world(model, state, pair.geom2, dtype)
+            verts = jnp.asarray(g2.mesh_verts, dtype)          # (V, 3)
+            world = g_pos[None, :] + verts @ g_R.T             # (V, 3)
+            phi_all, grad_all = _prim_sdf(g1, p_pos, p_R, world)
+            # row body + normal orientation: normal must point INTO the
+            # dynamic body (same convention as plane rows: plane=g1 static,
+            # n into g2). Mesh dynamic -> +grad; primitive dynamic -> -grad
+            # (push the primitive off the static mesh vertex).
+            sgn_m, b_m = (1.0, g2.bodyid) if g1.bodyid == 0 else (-1.0, g1.bodyid)
+            kk = min(4, int(verts.shape[0]))
+            _, idx = jax.lax.top_k(-phi_all, kk)
+            for r_i in range(kk):
+                vtx = world[idx[r_i]]
+                phi_v = phi_all[idx[r_i]]
+                n_v = sgn_m * grad_all[idx[r_i]]
+                body_ids.append(b_m)
+                points.append(vtx - n_v * (0.5 * sgn_m * phi_v))
+                phis.append(phi_v)
+                normals.append(n_v)
+                tangents.append(_make_frame_tangent(n_v))
+                mus.append(mu_m)
+                solrefs.append(pair.solref)
+                solimps.append(pair.solimp)
+                meffs.append(pair.m_eff)
+                invws.append(pair.invw0)
+                margins.append(pair.margin)
+                condims.append(pair.condim)
+                fri5s.append(pair.friction5 if pair.friction5 is not None
+                             else np.array([pair.mu, pair.mu, 0.005, 1e-4, 1e-4]))
+            continue
         if g1.gtype != GEOM_PLANE:
-            continue  # only plane contacts in the round-1 pair set
+            continue  # non-plane primitive pairs live in _self_rows
         mu = pair.mu if pair.condim > 1 else 0.0
 
         p_pos, p_R = _geom_world(model, state, pair.geom1, dtype)

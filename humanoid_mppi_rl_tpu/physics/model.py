@@ -541,14 +541,21 @@ def build_from_mjcf(
                 g1, g2 = g2, g1
             if g1.gtype == GEOM_PLANE and g2.gtype == GEOM_PLANE:
                 continue
-            if g2.gtype == GEOM_MESH and g1.gtype != GEOM_PLANE:
-                # mesh narrowphase is plane-vs-mesh only (vertex ranking);
-                # refuse loudly rather than silently dropping a pair MuJoCo
-                # would resolve — exclude via contype/conaffinity instead
+            if g1.gtype == GEOM_MESH and g2.gtype != GEOM_MESH:
+                # order primitive-vs-mesh pairs with the mesh as geom2 (the
+                # narrowphase ranks mesh vertices against the primitive's
+                # signed-distance field — contact.collect_contact_rows)
+                a, b = b, a
+                g1, g2 = g2, g1
+            if g1.gtype == GEOM_MESH and g2.gtype == GEOM_MESH:
+                # mesh-vs-mesh needs convex-convex support mapping; refuse
+                # loudly rather than silently dropping a pair MuJoCo would
+                # resolve — exclude via contype/conaffinity instead
                 raise NotImplementedError(
-                    "mesh geoms collide only with planes (set "
-                    "contype/conaffinity to exclude mesh-vs-primitive pairs)")
-            if g1.gtype != GEOM_PLANE and not include_self_collisions:
+                    "mesh-vs-mesh collision not supported (set "
+                    "contype/conaffinity to exclude mesh-vs-mesh pairs)")
+            if (g1.gtype != GEOM_PLANE and g2.gtype != GEOM_MESH
+                    and not include_self_collisions):
                 continue  # round-1: floor contacts only (dominant for locomotion)
             # friction / sol-parameter combination (mujoco mj_contactParam:
             # priority wins outright; equal priority -> max friction/condim,

@@ -157,3 +157,90 @@ def test_kernel_path_guards_loudly():
     pm = build_from_mjcf(XML)
     with pytest.raises(NotImplementedError):
         build_rollout_kernel(pm, KERNEL_COSTS["cartpole"], 4, block_k=8)
+
+
+# round-4 follow-up: primitive-vs-mesh narrowphase (vertex ranking against
+# the primitive SDF; one side world-static). Cube meshes rest on faces whose
+# corners ARE the deepest vertices, so the vertex narrowphase is exact here.
+CUBE_MESH = ("0.1 0.1 0.1  0.1 0.1 -0.1  0.1 -0.1 0.1  0.1 -0.1 -0.1  "
+             "-0.1 0.1 0.1  -0.1 0.1 -0.1  -0.1 -0.1 0.1  -0.1 -0.1 -0.1")
+
+MESH_ON_BOX_XML = f"""
+<mujoco>
+  <asset><mesh name="cube" vertex="{CUBE_MESH}"/></asset>
+  <worldbody>
+    <geom type="box" size="0.5 0.5 0.15" pos="0 0 0.15"/>
+    <body pos="0 0 0.45">
+      <freejoint/>
+      <geom type="mesh" mesh="cube" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+BOX_ON_MESH_XML = f"""
+<mujoco>
+  <asset><mesh name="cube" vertex="{CUBE_MESH}"/></asset>
+  <worldbody>
+    <geom type="mesh" mesh="cube" pos="0 0 0.1"/>
+    <body pos="0 0 0.32">
+      <freejoint/>
+      <geom type="box" size="0.14 0.14 0.08" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def _settle_both(xml, steps=1200):
+    m = mujoco.MjModel.from_xml_string(xml)
+    pm = build_from_mjcf(xml=xml)
+    d = mujoco.MjData(m)
+    for _ in range(steps):
+        mujoco.mj_step(m, d)
+    stepj = jax.jit(lambda s: step(pm, s, jnp.zeros(max(m.nu, 0))))
+    st = forward(pm, jnp.asarray(m.qpos0.copy()), jnp.zeros(m.nv))
+    for _ in range(steps):
+        st = stepj(st)
+    return m, d, np.asarray(st.qpos), np.asarray(st.qvel)
+
+
+def test_mesh_on_primitive_rest_parity():
+    """A free cube MESH dropped onto a world box settles at the MuJoCo C
+    resting height (dynamic-mesh case: rows on the mesh body, +SDF-gradient
+    normals)."""
+    m, d, q, qv = _settle_both(MESH_ON_BOX_XML)
+    assert np.isfinite(q).all()
+    assert np.abs(qv).max() < 0.05, qv          # actually at rest
+    assert abs(q[2] - d.qpos[2]) < 3e-3, (q[2], d.qpos[2])
+    assert abs(q[2] - 0.4) < 0.02               # box top 0.3 + half cube 0.1
+
+
+def test_primitive_on_mesh_rest_parity():
+    """A free box dropped onto a world cube MESH settles at the MuJoCo C
+    resting height (dynamic-primitive case: rows on the primitive body,
+    flipped normals pushing it off the static mesh vertices)."""
+    m, d, q, qv = _settle_both(BOX_ON_MESH_XML)
+    assert np.isfinite(q).all()
+    assert np.abs(qv).max() < 0.05, qv
+    assert abs(q[2] - d.qpos[2]) < 3e-3, (q[2], d.qpos[2])
+    assert abs(q[2] - 0.28) < 0.02              # mesh top 0.2 + half box 0.08
+
+
+def test_mesh_vs_mesh_and_two_dynamic_guard():
+    """Unsupported mesh pair configurations refuse loudly at build/collect
+    time instead of silently dropping contacts MuJoCo would resolve."""
+    two_mesh = MESH_ON_BOX_XML.replace(
+        '<geom type="box" size="0.5 0.5 0.15" pos="0 0 0.15"/>',
+        '<geom type="mesh" mesh="cube" pos="0 0 0.1"/>')
+    with pytest.raises(NotImplementedError, match="mesh-vs-mesh"):
+        build_from_mjcf(xml=two_mesh)
+    two_dyn = BOX_ON_MESH_XML.replace(
+        '<geom type="mesh" mesh="cube" pos="0 0 0.1"/>',
+        '<body pos="0 0 0.1"><freejoint/>'
+        '<geom type="mesh" mesh="cube" mass="1"/></body>')
+    pm = build_from_mjcf(xml=two_dyn)
+    from humanoid_mppi_rl_tpu.physics import contact as ct
+    st = forward(pm, jnp.asarray(pm.qpos0.copy()), jnp.zeros(pm.nv))
+    with pytest.raises(NotImplementedError, match="world-attached"):
+        ct.collect_contact_rows(pm, st, st.S)
