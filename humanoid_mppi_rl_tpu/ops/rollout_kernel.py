@@ -56,7 +56,8 @@ def build_rollout_kernel(
     for act in model.actuators:
         if act.ndof != 1:
             raise NotImplementedError(
-                "multi-dof (ball/free) actuators are array-engine-only")
+                "multi-dof (ball/free) and tendon-transmission actuators "
+                "are array-engine-only")
     for g in model.geoms:
         if g.gtype == GEOM_MESH:
             raise NotImplementedError(

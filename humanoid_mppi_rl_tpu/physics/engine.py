@@ -258,6 +258,27 @@ def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl) -> jax.Array:
                          jnp.asarray(model.act_force_hi[sel], dtype))
         qfrc = qfrc.at[jnp.asarray(model.act_dofadr[sel])].add(gear * force)
     for i, act in enumerate(model.actuators):
+        if act.tendon_id >= 0:
+            # fixed-tendon transmission (mjTRN_TENDON): length/velocity are
+            # the gear-scaled tendon coordinates, moment = gear * coef row
+            coef = jnp.asarray(model.tendon_coef[act.tendon_id], dtype)
+            qd = jnp.zeros(model.nv, dtype).at[
+                jnp.asarray(model.hs_dofadr)].set(
+                    qpos[jnp.asarray(model.hs_qposadr)])
+            length = float(act.gear) * (coef @ qd)
+            vel = float(act.gear) * (coef @ qvel)
+            u = ctrl[i]
+            if act.ctrllimited:
+                u = jnp.clip(u, float(act.ctrlrange[0]),
+                             float(act.ctrlrange[1]))
+            force = (float(act.gain) * u + float(act.bias[0])
+                     + float(act.bias[1]) * length
+                     + float(act.bias[2]) * vel)
+            if act.forcelimited:
+                force = jnp.clip(force, float(act.forcerange[0]),
+                                 float(act.forcerange[1]))
+            qfrc = qfrc + coef * (float(act.gear) * force)
+            continue
         if act.ndof == 1:
             continue
         # motor-type only (model build guards position/bias servos):
@@ -510,7 +531,12 @@ def actuator_moment(model: PhysicsModel) -> "jnp.ndarray":
 
     M = np.zeros((model.nu, model.nv))
     for i, a in enumerate(model.actuators):
-        M[i, a.dofadr] = a.gear
+        if a.tendon_id >= 0:
+            M[i] = a.gear * model.tendon_coef[a.tendon_id]
+        elif a.ndof > 1:
+            M[i, a.dofadr:a.dofadr + a.ndof] = a.gear6[:a.ndof]
+        else:
+            M[i, a.dofadr] = a.gear
     return jnp.asarray(M)
 
 

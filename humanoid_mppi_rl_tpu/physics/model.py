@@ -73,6 +73,10 @@ class Actuator:
     # gear == gear6[0]
     ndof: int = 1
     gear6: np.ndarray = None
+    # fixed-tendon transmission: index into tendon_coef (ndof=0 so the
+    # vectorized single-dof kernel skips it); length/velocity/moment are
+    # gear * the tendon's coef row (mjTRN_TENDON)
+    tendon_id: int = -1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -428,8 +432,33 @@ def build_from_mjcf(
     actuators: List[Actuator] = []
     for a in range(nu):
         trntype = int(m.actuator_trntype[a])
+        if trntype == int(mujoco.mjtTrn.mjTRN_TENDON):
+            tid = int(m.actuator_trnid[a, 0])
+            adr_t, num_t = int(m.tendon_adr[tid]), int(m.tendon_num[tid])
+            if any(int(m.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT)
+                   for w in range(adr_t, adr_t + num_t)):
+                raise NotImplementedError(
+                    "tendon-transmission actuators support fixed (joint-"
+                    "wrap) tendons only")
+            actuators.append(
+                Actuator(
+                    dofadr=-1, qposadr=-1,
+                    gear=float(m.actuator_gear[a, 0]),
+                    gain=float(m.actuator_gainprm[a, 0]),
+                    bias=m.actuator_biasprm[a, :3].copy(),
+                    ctrllimited=bool(m.actuator_ctrllimited[a]),
+                    ctrlrange=m.actuator_ctrlrange[a].copy(),
+                    forcelimited=bool(m.actuator_forcelimited[a]),
+                    forcerange=m.actuator_forcerange[a].copy(),
+                    ndof=0, gear6=m.actuator_gear[a].copy(),
+                    tendon_id=tid,
+                )
+            )
+            continue
         if trntype != int(mujoco.mjtTrn.mjTRN_JOINT):
-            raise NotImplementedError("only joint-transmission actuators supported")
+            raise NotImplementedError(
+                "only joint- and fixed-tendon-transmission actuators "
+                "supported")
         jid = int(m.actuator_trnid[a, 0])
         jt_a = int(m.jnt_type[jid])
         a_ndof = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}[jt_a]

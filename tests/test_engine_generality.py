@@ -244,3 +244,67 @@ def test_mesh_vs_mesh_and_two_dynamic_guard():
     st = forward(pm, jnp.asarray(pm.qpos0.copy()), jnp.zeros(pm.nv))
     with pytest.raises(NotImplementedError, match="world-attached"):
         ct.collect_contact_rows(pm, st, st.S)
+
+
+TENDON_ACT_XML = """
+<mujoco>
+  <option gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+      <body pos="0.3 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0"/>
+        <geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.03" mass="0.6"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <fixed name="t1"><joint joint="j1" coef="0.8"/><joint joint="j2" coef="-0.5"/></fixed>
+    <fixed name="t2"><joint joint="j1" coef="0.3"/><joint joint="j2" coef="0.4"/></fixed>
+  </tendon>
+  <actuator>
+    <motor tendon="t1" gear="1.5" ctrlrange="-2 2" ctrllimited="true"/>
+    <position tendon="t2" kp="12" gear="0.7"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_tendon_actuator_parity():
+    """Motor and position-servo actuators on fixed tendons: 200 driven steps
+    match MuJoCo C (length/velocity are gear-scaled tendon coordinates,
+    moment = gear * coef row — mjTRN_TENDON)."""
+    m = mujoco.MjModel.from_xml_string(TENDON_ACT_XML)
+    pm = build_from_mjcf(xml=TENDON_ACT_XML)
+    assert sorted(a.tendon_id for a in pm.actuators) == [0, 1]
+    d = mujoco.MjData(m)
+    d.qpos[:] = [0.3, -0.4]
+    d.qvel[:] = [0.5, -0.2]
+    rng = np.random.default_rng(7)
+    ctrls = rng.uniform(-1.5, 1.5, (200, 2))
+    st = forward(pm, jnp.asarray(d.qpos.copy()), jnp.asarray(d.qvel.copy()))
+    for k in range(200):
+        d.ctrl[:] = ctrls[k]
+        mujoco.mj_step(m, d)
+        st = step(pm, st, jnp.asarray(ctrls[k]))
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-8)
+
+
+def test_spatial_tendon_actuator_guard():
+    """Actuators on spatial (site-wrap) tendons refuse loudly."""
+    xml = TENDON_ACT_XML.replace(
+        '<fixed name="t2"><joint joint="j1" coef="0.3"/>'
+        '<joint joint="j2" coef="0.4"/></fixed>',
+        '<spatial name="t2"><site site="s1"/><site site="s2"/></spatial>'
+    ).replace(
+        '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>',
+        '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>'
+        '<site name="s1" pos="0 0 0.05"/>'
+    ).replace(
+        '<geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.03" mass="0.6"/>',
+        '<geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.03" mass="0.6"/>'
+        '<site name="s2" pos="0 0 0.05"/>')
+    with pytest.raises(NotImplementedError, match="fixed"):
+        build_from_mjcf(xml=xml)
