@@ -308,3 +308,48 @@ def test_spatial_tendon_actuator_guard():
         '<site name="s2" pos="0 0 0.05"/>')
     with pytest.raises(NotImplementedError, match="fixed"):
         build_from_mjcf(xml=xml)
+
+
+def test_mesh_sdf_rows_sphere_capsule():
+    """Row-level probe of the sphere and capsule SDF branches: penetrating
+    mesh vertices produce active rows whose normals point from the
+    primitive into the mesh body along the analytic radial direction."""
+    from humanoid_mppi_rl_tpu.physics import contact as ct
+    xml = MESH_ON_BOX_XML.replace(
+        '<geom type="box" size="0.5 0.5 0.15" pos="0 0 0.15"/>',
+        '<geom type="sphere" size="0.2" pos="0 0 0.1"/>')
+    pm = build_from_mjcf(xml=xml)
+    q = pm.qpos0.copy()
+    # mesh bottom corners at (+-0.1, +-0.1, 0.23): distance to the sphere
+    # center (0,0,0.1) is sqrt(0.01+0.01+0.0169)=0.192 < r=0.2 -> all four
+    # penetrate by 8 mm (vertex regime, not the documented face regime)
+    q[2] = 0.33
+    st = forward(pm, jnp.asarray(q), jnp.zeros(pm.nv))
+    rows = ct.collect_contact_rows(pm, st, st.S)
+    pen = np.asarray(rows["pen"])
+    n = np.asarray(rows["n"])
+    active = pen > 0
+    assert active.sum() == 4, pen
+    r_exp = 0.2 - np.sqrt(0.1 ** 2 + 0.1 ** 2 + 0.13 ** 2)
+    np.testing.assert_allclose(pen[active], r_exp, atol=1e-6)
+    for k in np.nonzero(active)[0]:
+        assert n[k, 2] > 0.5, n[k]           # upward into the mesh body
+    # capsule branch: horizontal capsule under the same mesh; corner radial
+    # distance to the axis sqrt(0.01+0.0169)=0.164 < r -> 36 mm penetration
+    xml_c = MESH_ON_BOX_XML.replace(
+        '<geom type="box" size="0.5 0.5 0.15" pos="0 0 0.15"/>',
+        '<geom type="capsule" fromto="-0.3 0 0.1 0.3 0 0.1" size="0.2"/>')
+    pm_c = build_from_mjcf(xml=xml_c)
+    qc = pm_c.qpos0.copy()
+    qc[2] = 0.33
+    st = forward(pm_c, jnp.asarray(qc), jnp.zeros(pm_c.nv))
+    rows = ct.collect_contact_rows(pm_c, st, st.S)
+    pen = np.asarray(rows["pen"])
+    n = np.asarray(rows["n"])
+    active = pen > 0
+    assert active.sum() == 4, pen
+    np.testing.assert_allclose(
+        pen[active], 0.2 - np.sqrt(0.1 ** 2 + 0.13 ** 2), atol=1e-6)
+    # normals are radial from the axis: zero x-component, upward z
+    for k in np.nonzero(active)[0]:
+        assert abs(n[k, 0]) < 1e-6 and n[k, 2] > 0.5, n[k]
