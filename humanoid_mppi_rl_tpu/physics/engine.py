@@ -233,11 +233,13 @@ def project_forces(model: PhysicsModel, S: jax.Array, F_body: jax.Array) -> jax.
     return jnp.einsum("bn,bi,ni->n", A, F_body, S)
 
 
-def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl) -> jax.Array:
+def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl,
+                     state: "PhysicsState" = None) -> jax.Array:
     """qfrc_actuator: motor/position servo torques (mujoco gain/bias model),
     vectorized over all (joint-transmission, single-dof) actuators; motor
-    transmissions on ball/free joints (gear vector over the joint's dofs)
-    are applied per-actuator below."""
+    transmissions on ball/free joints (gear vector over the joint's dofs),
+    fixed tendons, and sites (need ``state`` kinematics for the site
+    Jacobian) are applied per-actuator below."""
     dtype = qpos.dtype
     if model.nu == 0:
         return jnp.zeros(model.nv, dtype)
@@ -258,6 +260,36 @@ def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl) -> jax.Array:
                          jnp.asarray(model.act_force_hi[sel], dtype))
         qfrc = qfrc.at[jnp.asarray(model.act_dofadr[sel])].add(gear * force)
     for i, act in enumerate(model.actuators):
+        if act.site_bodyid >= 0:
+            # site transmission (mjTRN_SITE, no refsite): unit wrench =
+            # site-frame gear rotated to world, moment = S-projection onto
+            # the site's body chain; length = 0, velocity = moment . qvel
+            # (mj_transmission site branch)
+            if state is None:
+                raise ValueError(
+                    "site-transmission actuators need state kinematics")
+            b = act.site_bodyid
+            S = state.S
+            R_b = sp.quat_to_mat(state.xquat[b])
+            p_s = state.xpos[b] + R_b @ jnp.asarray(act.site_pos, dtype)
+            R_s = R_b @ sp.quat_to_mat(jnp.asarray(act.site_quat, dtype))
+            gv = jnp.asarray(act.gear6, dtype)
+            Fw = R_s @ gv[:3]
+            tau0 = R_s @ gv[3:] + jnp.cross(p_s, Fw)
+            anc = jnp.asarray(model.ancestor_mask, dtype)[b]
+            moment = (S[:, :3] @ tau0 + S[:, 3:] @ Fw) * anc      # (nv,)
+            vel = moment @ qvel
+            u = ctrl[i]
+            if act.ctrllimited:
+                u = jnp.clip(u, float(act.ctrlrange[0]),
+                             float(act.ctrlrange[1]))
+            force = (float(act.gain) * u + float(act.bias[0])
+                     + float(act.bias[2]) * vel)
+            if act.forcelimited:
+                force = jnp.clip(force, float(act.forcerange[0]),
+                                 float(act.forcerange[1]))
+            qfrc = qfrc + moment * force
+            continue
         if act.tendon_id >= 0:
             # fixed-tendon transmission (mjTRN_TENDON): length/velocity are
             # the gear-scaled tendon coordinates, moment = gear * coef row
@@ -531,6 +563,10 @@ def actuator_moment(model: PhysicsModel) -> "jnp.ndarray":
 
     M = np.zeros((model.nu, model.nv))
     for i, a in enumerate(model.actuators):
+        if a.site_bodyid >= 0:
+            raise NotImplementedError(
+                "site-transmission moments are state-dependent; use "
+                "_actuator_forces with state kinematics")
         if a.tendon_id >= 0:
             M[i] = a.gear * model.tendon_coef[a.tendon_id]
         elif a.ndof > 1:
@@ -911,7 +947,7 @@ def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
     newton_mode = solver == "coupled" and (
         model.contact_pairs or has_limits or has_fl)
 
-    tau = _actuator_forces(model, qpos, qvel, ctrl)
+    tau = _actuator_forces(model, qpos, qvel, ctrl, state=state)
     # Newton tier resolves dof_frictionloss as Huber constraint rows
     # (physics/newton.py), so the smooth tanh approximation is excluded there
     tau_p, G_p = _passive_forces(model, qpos, qvel,

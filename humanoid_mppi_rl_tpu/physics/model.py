@@ -77,6 +77,12 @@ class Actuator:
     # vectorized single-dof kernel skips it); length/velocity/moment are
     # gear * the tendon's coef row (mjTRN_TENDON)
     tendon_id: int = -1
+    # site transmission (mjTRN_SITE, no refsite): a wrench at the site —
+    # gear[0:3] force + gear[3:6] torque in the SITE frame per unit
+    # actuator force; length = 0, velocity = moment . qvel (ndof=0)
+    site_bodyid: int = -1
+    site_pos: tuple = None            # body-local site offset (3,)
+    site_quat: tuple = None           # body-local site orientation (4,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -455,10 +461,33 @@ def build_from_mjcf(
                 )
             )
             continue
+        if trntype == int(mujoco.mjtTrn.mjTRN_SITE):
+            sid = int(m.actuator_trnid[a, 0])
+            if int(m.actuator_trnid[a, 1]) >= 0:
+                raise NotImplementedError(
+                    "site-transmission actuators with a refsite are not "
+                    "supported (length is 0 only without one)")
+            actuators.append(
+                Actuator(
+                    dofadr=-1, qposadr=-1,
+                    gear=float(m.actuator_gear[a, 0]),
+                    gain=float(m.actuator_gainprm[a, 0]),
+                    bias=m.actuator_biasprm[a, :3].copy(),
+                    ctrllimited=bool(m.actuator_ctrllimited[a]),
+                    ctrlrange=m.actuator_ctrlrange[a].copy(),
+                    forcelimited=bool(m.actuator_forcelimited[a]),
+                    forcerange=m.actuator_forcerange[a].copy(),
+                    ndof=0, gear6=m.actuator_gear[a].copy(),
+                    site_bodyid=int(m.site_bodyid[sid]),
+                    site_pos=tuple(float(x) for x in m.site_pos[sid]),
+                    site_quat=tuple(float(x) for x in m.site_quat[sid]),
+                )
+            )
+            continue
         if trntype != int(mujoco.mjtTrn.mjTRN_JOINT):
             raise NotImplementedError(
-                "only joint- and fixed-tendon-transmission actuators "
-                "supported")
+                "only joint-, fixed-tendon- and site-transmission "
+                "actuators supported")
         jid = int(m.actuator_trnid[a, 0])
         jt_a = int(m.jnt_type[jid])
         a_ndof = {FREE: 6, BALL: 3, SLIDE: 1, HINGE: 1}[jt_a]

@@ -353,3 +353,61 @@ def test_mesh_sdf_rows_sphere_capsule():
     # normals are radial from the axis: zero x-component, upward z
     for k in np.nonzero(active)[0]:
         assert abs(n[k, 0]) < 1e-6 and n[k, 2] > 0.5, n[k]
+
+
+SITE_ACT_XML = """
+<mujoco>
+  <option gravity="0 0 -9.81"/>
+  <worldbody>
+    <body pos="0 0 1">
+      <freejoint/>
+      <geom type="box" size="0.1 0.08 0.05" mass="2"/>
+      <site name="thruster" pos="0.06 0 0.05" euler="0 20 0"/>
+      <body pos="0.1 0 0">
+        <joint type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" fromto="0 0 0 0.2 0 0" size="0.03" mass="0.4"/>
+        <site name="tip" pos="0.2 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor site="thruster" gear="0 0 1 0 0 0" ctrlrange="0 30" ctrllimited="true"/>
+    <motor site="thruster" gear="0 0 0 0 0 0.5"/>
+    <motor site="tip" gear="1 0 0 0 0 0"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_site_actuator_parity():
+    """Site-transmission motors (force + torque wrenches at sites, incl. a
+    site on a child body of the chain): 200 driven steps match MuJoCo C
+    (moment = S-projection of the world wrench onto the site's body chain
+    — mjTRN_SITE without refsite)."""
+    m = mujoco.MjModel.from_xml_string(SITE_ACT_XML)
+    pm = build_from_mjcf(xml=SITE_ACT_XML)
+    assert sum(1 for a in pm.actuators if a.site_bodyid >= 0) == 3
+    d = mujoco.MjData(m)
+    rng = np.random.default_rng(3)
+    d.qvel[:] = rng.normal(0, 0.2, m.nv)
+    st = forward(pm, jnp.asarray(d.qpos.copy()), jnp.asarray(d.qvel.copy()))
+    ctrls = np.column_stack([
+        20.0 + 2 * np.sin(0.05 * np.arange(200)),          # hover-ish thrust
+        rng.uniform(-1, 1, 200),
+        rng.uniform(-0.5, 0.5, 200),
+    ])
+    for k in range(200):
+        d.ctrl[:] = ctrls[k]
+        mujoco.mj_step(m, d)
+        st = step(pm, st, jnp.asarray(ctrls[k]))
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-7)
+
+
+def test_site_refsite_guard():
+    """refsite-relative site transmissions refuse loudly."""
+    xml = SITE_ACT_XML.replace(
+        '<motor site="tip" gear="1 0 0 0 0 0"/>',
+        '<motor site="tip" refsite="thruster" gear="1 0 0 0 0 0"/>')
+    with pytest.raises(NotImplementedError, match="refsite"):
+        build_from_mjcf(xml=xml)
