@@ -186,10 +186,21 @@ def main():
 
     import jax
 
-    from humanoid_mppi_rl_tpu.utils.compile_cache import enable_persistent_cache
+    from humanoid_mppi_rl_tpu.utils.compile_cache import (
+        check_schema_marker, count_cache_entries, enable_persistent_cache)
     cache_dir = enable_persistent_cache()
+    schema = check_schema_marker(cache_dir)
+    entries_before = count_cache_entries(cache_dir)
 
     prim = _bench_primary(K, H, task, iters, batches)
+    # cache_miss: the primary compile wrote new executables into the
+    # persistent cache (i.e. it did NOT run from cache). A schema commit
+    # shows up as schema_changed + cache_miss + large compile_s rather
+    # than a silent 80x compile_s swing (VERDICT r4 weak-7).
+    new_entries = count_cache_entries(cache_dir) - entries_before
+    prim["cache_miss"] = new_entries > 0
+    prim["cache_new_entries"] = new_entries
+    prim.update(schema)
     sim_dt = prim.pop("sim_dt")
     lat_s = prim["replan_latency_ms"] / 1e3
     rollouts_per_sec = K / lat_s

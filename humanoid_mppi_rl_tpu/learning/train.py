@@ -19,6 +19,7 @@ Task presets mirror the three reference trainers:
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 from functools import partial
 from typing import Any, Optional, Sequence
@@ -439,12 +440,17 @@ def train_model(
     if cfg.plot_path and history:
         save_loss_curve(cfg.plot_path, history)
     log.close()
-    return {
+    # metrics-only summary written alongside the checkpoints; the orbax ckpt
+    # is the parameter artifact (never serialize state.params into JSON)
+    summary = {
         "best_eval_loss": best_eval,
         "final_train_loss": train_loss,
         "best_checkpoint": best_path,
         "final_checkpoint": final_path,
         "n_pairs": len(ds),
-        "params": state.params,
-        "model": model,
+        "epochs": cfg.epochs,
+        "rollout_k": cfg.rollout_k,
     }
+    with open(os.path.join(cfg.ckpt_dir, "train_summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    return {**summary, "params": state.params, "model": model}

@@ -47,3 +47,65 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
         pass
     _enabled = True
     return cache_dir
+
+
+def schema_fingerprint() -> str:
+    """Stable fingerprint of the program-shaping dataclass schemas.
+
+    The XLA persistent cache is keyed by HLO, so ANY field added to
+    PhysicsModel / PhysicsState / MPPIState changes the traced program and
+    silently invalidates every cached executable — round 4 observed this as
+    an unexplained 332.8 s "regression" after a model-schema commit
+    (PERF.md, VERDICT r4 weak-7). This fingerprint makes the invalidation
+    *visible*: bench.py records it in the cache dir and reports
+    `schema_changed` whenever the current schema differs from the one the
+    cache was last warmed for."""
+    import hashlib
+
+    parts = []
+    try:
+        import dataclasses as _dc
+
+        from ..physics.model import PhysicsModel, PhysicsState
+        from ..solver.mppi import MPPIConfig, MPPIState
+
+        for cls in (PhysicsModel, PhysicsState, MPPIConfig, MPPIState):
+            names = [f.name for f in _dc.fields(cls)]
+            parts.append(f"{cls.__name__}:{','.join(names)}")
+    except Exception as e:  # never break a bench over fingerprinting
+        parts.append(f"error:{type(e).__name__}")
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
+
+def check_schema_marker(cache_dir: str | None) -> dict:
+    """Compare the current schema fingerprint with the cache's marker file,
+    update the marker, and report {schema_fingerprint, schema_changed}.
+    schema_changed=True means the next compile of any program touching these
+    dataclasses is expected to be a cold (cache-miss) compile."""
+    fp = schema_fingerprint()
+    out = {"schema_fingerprint": fp, "schema_changed": False}
+    if not cache_dir:
+        return out
+    marker = os.path.join(cache_dir, "SCHEMA_FINGERPRINT")
+    try:
+        old = open(marker).read().strip() if os.path.exists(marker) else None
+        out["schema_changed"] = old is not None and old != fp
+        if old is None:
+            out["schema_changed"] = True  # cold cache dir: expect a miss
+        with open(marker, "w") as f:
+            f.write(fp)
+    except OSError:
+        pass
+    return out
+
+
+def count_cache_entries(cache_dir: str | None) -> int:
+    """Number of cached executables (files) under the cache dir; used by
+    bench.py to detect whether a compile actually hit the persistent cache
+    (entry count unchanged) or missed (new entries written)."""
+    if not cache_dir or not os.path.isdir(cache_dir):
+        return 0
+    n = 0
+    for _root, _dirs, files in os.walk(cache_dir):
+        n += sum(1 for f in files if f != "SCHEMA_FINGERPRINT")
+    return n

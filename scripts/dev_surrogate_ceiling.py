@@ -76,8 +76,11 @@ def main():
           % (min(x_moves), max(x_moves)))
 
     fls, step_d = [], []
-    for f in sorted(glob.glob(os.path.join(
-            root, "artifacts/full_pipeline/data/states_ft/*.csv")))[:20]:
+    csvs = (sorted(glob.glob(os.path.join(
+                root, "artifacts/full_pipeline/data/states_ft/*.csv")))
+            or sorted(glob.glob(os.path.join(
+                root, "artifacts/full_pipeline/data_sample/states_ft/*.csv"))))
+    for f in csvs[:20]:
         arr = np.loadtxt(f, delimiter=",", ndmin=2)
         fls.append(arr[:, 55:57])
         step_d.append(np.abs(np.diff(arr[:, 55:57], axis=0)))
