@@ -357,6 +357,7 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
     dtype = state.qpos.dtype
 
     body_ids: List[int] = []
+    other_ids: List[int] = []    # reaction body per row (0 = world)
     points: List[jax.Array] = []
     phis: List[jax.Array] = []
     normals: List[jax.Array] = []
@@ -384,10 +385,24 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
         t = jnp.where(use1, c1, c2)
         return t / jnp.linalg.norm(t)
 
+    def _hull_sdf(g, g_pos, g_R, world):
+        """Signed distance + gradient of a MESH geom's convex hull at each
+        world point (V, 3): phi = max over hull face planes (exact inside
+        and in the face regime outside; a lower bound near outside
+        edges/corners — contact only cares about phi < margin, documented).
+        Gradient = outward normal of the deepest face, rotated to world."""
+        eq = jnp.asarray(g.mesh_hull, dtype)               # (F, 4)
+        local = (world - g_pos[None, :]) @ g_R             # (V, 3)
+        d_all = local @ eq[:, :3].T + eq[None, :, 3]       # (V, F)
+        j = jnp.argmax(d_all, axis=-1)                     # (V,)
+        phi = jnp.max(d_all, axis=-1)
+        n_loc = eq[j, :3]                                  # (V, 3)
+        return phi, n_loc @ g_R.T
+
     def _prim_sdf(g, p_pos, p_R, world):
-        """Signed distance + outward gradient of a sphere/capsule/box geom
-        at each world point (V, 3). Gradient points from the primitive's
-        surface toward the point (into the mesh side)."""
+        """Signed distance + outward gradient of a sphere/capsule/box/mesh
+        geom at each world point (V, 3). Gradient points from the geom's
+        surface toward the point (into the other-geom side)."""
         size = jnp.asarray(g.size, dtype)
         eps = jnp.asarray(1e-12, dtype)
         if g.gtype == GEOM_SPHERE:
@@ -419,56 +434,89 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
             g_loc = jnp.where(out[:, None],
                               diff / jnp.maximum(d, eps)[:, None], g_in)
             return phi, g_loc @ p_R.T
+        if g.gtype == GEOM_MESH:
+            return _hull_sdf(g, p_pos, p_R, world)
         raise NotImplementedError(f"mesh vs geom type {g.gtype}")
 
     for pair in model.contact_pairs:
         g1 = model.geoms[pair.geom1]
         g2 = model.geoms[pair.geom2]
         if g2.gtype == GEOM_MESH and g1.gtype != GEOM_PLANE:
-            # primitive-vs-mesh: rank the mesh vertices by the primitive's
-            # signed distance (exact when the deepest feature is a mesh
-            # vertex — typical for decimated collision hulls; a primitive
-            # face pressing into a large flat mesh facet is under-resolved,
-            # documented). One side must be world-static: the row machinery
-            # here carries a single dynamic body (two-dynamic-body pairs
-            # live in _self_rows, which has no mesh narrowphase).
-            if g1.bodyid != 0 and g2.bodyid != 0:
-                raise NotImplementedError(
-                    "mesh-vs-primitive needs one world-attached geom "
-                    "(both dynamic: exclude via contype/conaffinity)")
+            # geom-vs-mesh narrowphase, BOTH directions (either or both
+            # bodies may be dynamic — rows carry a (body, other-body)
+            # relative jacobian, so two-dynamic pairs apply equal-and-
+            # opposite wrenches automatically):
+            #   1. mesh(g2) vertices ranked by g1's SDF (primitive SDF,
+            #      or g1's convex-hull SDF when g1 is itself a mesh) —
+            #      exact when the deepest feature is a mesh vertex;
+            #   2. g1's support points (sphere center / capsule endpoints /
+            #      box corners / mesh vertices) ranked by g2's convex-hull
+            #      SDF — resolves a primitive or mesh face pressing into a
+            #      large flat facet of g2, the regime direction 1 misses.
+            # Edge/corner regimes resolve with face-plane normals and the
+            # hull SDF underestimates OUTSIDE distance near edges — both
+            # documented approximations (activation only needs phi<margin).
             if g1.bodyid == 0 and g2.bodyid == 0:
                 continue  # both static: no dynamics to resolve
             mu_m = pair.mu if pair.condim > 1 else 0.0
+            fri5_m = (pair.friction5 if pair.friction5 is not None
+                      else np.array([pair.mu, pair.mu, 0.005, 1e-4, 1e-4]))
             p_pos, p_R = _geom_world(model, state, pair.geom1, dtype)
             g_pos, g_R = _geom_world(model, state, pair.geom2, dtype)
-            verts = jnp.asarray(g2.mesh_verts, dtype)          # (V, 3)
-            world = g_pos[None, :] + verts @ g_R.T             # (V, 3)
-            phi_all, grad_all = _prim_sdf(g1, p_pos, p_R, world)
-            # row body + normal orientation: normal must point INTO the
-            # dynamic body (same convention as plane rows: plane=g1 static,
-            # n into g2). Mesh dynamic -> +grad; primitive dynamic -> -grad
-            # (push the primitive off the static mesh vertex).
-            sgn_m, b_m = (1.0, g2.bodyid) if g1.bodyid == 0 else (-1.0, g1.bodyid)
-            kk = min(4, int(verts.shape[0]))
-            _, idx = jax.lax.top_k(-phi_all, kk)
-            for r_i in range(kk):
-                vtx = world[idx[r_i]]
-                phi_v = phi_all[idx[r_i]]
-                n_v = sgn_m * grad_all[idx[r_i]]
-                body_ids.append(b_m)
-                points.append(vtx - n_v * (0.5 * sgn_m * phi_v))
-                phis.append(phi_v)
-                normals.append(n_v)
-                tangents.append(_make_frame_tangent(n_v))
-                mus.append(mu_m)
-                solrefs.append(pair.solref)
-                solimps.append(pair.solimp)
-                meffs.append(pair.m_eff)
-                invws.append(pair.invw0)
-                margins.append(pair.margin)
-                condims.append(pair.condim)
-                fri5s.append(pair.friction5 if pair.friction5 is not None
-                             else np.array([pair.mu, pair.mu, 0.005, 1e-4, 1e-4]))
+
+            def add_mesh_rows(query_pts, radius, phi_all, grad_all,
+                              bid, other):
+                """Emit top-K deepest rows. `grad_all` points into the row
+                body `bid`; contact position midway between surfaces."""
+                kk = min(4, int(query_pts.shape[0]))
+                _, idx = jax.lax.top_k(-phi_all, kk)
+                for r_i in range(kk):
+                    qp = query_pts[idx[r_i]]
+                    phi_v = phi_all[idx[r_i]] - radius
+                    n_v = grad_all[idx[r_i]]
+                    body_ids.append(bid)
+                    other_ids.append(other)
+                    points.append(qp - n_v * (radius + 0.5 * phi_v))
+                    phis.append(phi_v)
+                    normals.append(n_v)
+                    tangents.append(_make_frame_tangent(n_v))
+                    mus.append(mu_m)
+                    solrefs.append(pair.solref)
+                    solimps.append(pair.solimp)
+                    meffs.append(pair.m_eff)
+                    invws.append(pair.invw0)
+                    margins.append(pair.margin)
+                    condims.append(pair.condim)
+                    fri5s.append(fri5_m)
+
+            # direction 1: mesh(g2) vertices vs g1's SDF
+            verts2 = jnp.asarray(g2.mesh_verts, dtype)         # (V, 3)
+            world2 = g_pos[None, :] + verts2 @ g_R.T           # (V, 3)
+            phi_all, grad_all = _prim_sdf(g1, p_pos, p_R, world2)
+            add_mesh_rows(world2, 0.0, phi_all, grad_all,
+                          g2.bodyid, g1.bodyid)
+
+            # direction 2: g1's support points vs g2's hull SDF
+            if g1.gtype == GEOM_MESH:
+                verts1 = jnp.asarray(g1.mesh_verts, dtype)
+                pts, rad = p_pos[None, :] + verts1 @ p_R.T, 0.0
+            elif g1.gtype == GEOM_SPHERE:
+                pts, rad = p_pos[None, :], float(g1.size[0])
+            elif g1.gtype == GEOM_CAPSULE:
+                hl = (max(float(g1.size[1]) - float(g1.size[0]), 0.0)
+                      if g1.gtype_orig == 5 else float(g1.size[1]))
+                axis = p_R[:, 2]
+                pts = jnp.stack([p_pos - hl * axis, p_pos + hl * axis])
+                rad = float(g1.size[0])
+            else:  # GEOM_BOX: 8 corners
+                s1 = jnp.asarray(g1.size[:3], dtype)
+                corners = jnp.asarray(
+                    np.array([[sx, sy, sz] for sx in (-1.0, 1.0)
+                              for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)]),
+                    dtype) * s1[None, :]
+                pts, rad = p_pos[None, :] + corners @ p_R.T, 0.0
+            phi_h, grad_h = _hull_sdf(g2, g_pos, g_R, pts)
+            add_mesh_rows(pts, rad, phi_h, grad_h, g1.bodyid, g2.bodyid)
             continue
         if g1.gtype != GEOM_PLANE:
             continue  # non-plane primitive pairs live in _self_rows
@@ -482,6 +530,7 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
 
         def add(point, phi, t1):
             body_ids.append(b)
+            other_ids.append(g1.bodyid)   # plane body (world-static)
             points.append(point)
             phis.append(phi)
             normals.append(n)
@@ -562,8 +611,13 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
         t1 = jnp.stack(tangents)                          # (P, 3)
         t2 = jnp.cross(n, t1)                             # (P, 3)
 
+        # relative point velocity: v(bid) - v(other) at the contact point
+        # (other=world for plane rows -> body_vel[0]=0, the original form)
+        oid = np.asarray(other_ids)                       # (P,) static
         V = state.body_vel[jnp.asarray(bid)]              # (P, 6)
-        v_pt = V[:, 3:] + jnp.cross(V[:, :3], p)          # (P, 3)
+        Vo = state.body_vel[jnp.asarray(oid)]             # (P, 6)
+        v_pt = (V[:, 3:] + jnp.cross(V[:, :3], p)
+                - Vo[:, 3:] - jnp.cross(Vo[:, :3], p))    # (P, 3)
         vn = jnp.sum(n * v_pt, axis=-1)                   # (P,)
         vt = v_pt - vn[:, None] * n
         vt1 = jnp.sum(t1 * v_pt, axis=-1)
@@ -574,8 +628,12 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
         active = (phi < marg).astype(dtype)
 
         # point jacobians: J_p (P, nv, 3), J[:, d] = A[b,d] * (S_lin[d] +
-        # S_ang[d] x p); JpN/Jt1/Jt2 (P, nv) the contact-frame rows
-        A = jnp.asarray(model.ancestor_mask, dtype)[jnp.asarray(bid)]  # (P, nv)
+        # S_ang[d] x p); JpN/Jt1/Jt2 (P, nv) the contact-frame rows.
+        # RELATIVE mask (bid minus other) so two-dynamic-body mesh rows
+        # apply equal-and-opposite wrenches; other=world keeps plane rows
+        # bit-identical (ancestor_mask[0] = 0)
+        Am = jnp.asarray(model.ancestor_mask, dtype)
+        A = Am[jnp.asarray(bid)] - Am[jnp.asarray(oid)]    # (P, nv)
         S_ang, S_lin = S[:, :3], S[:, 3:]                  # (nv, 3)
         cross_Sp = jnp.cross(S_ang[None, :, :], p[:, None, :])   # (P, nv, 3)
         Jp = (S_lin[None] + cross_Sp) * A[:, :, None]      # (P, nv, 3)

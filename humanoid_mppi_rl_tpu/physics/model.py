@@ -105,8 +105,17 @@ class Geom:
     # scripts/dev_go1_probe.py)
     gtype_orig: int = -1
     # mesh geoms: vertices in the geom frame (plane-vs-mesh narrowphase
-    # ranks them by plane distance each step — contact.py)
+    # ranks them by plane distance each step — contact.py); deduplicated at
+    # build time so coincident STL soup vertices can't spend several of the
+    # per-pair contact-row slots on the same point
     mesh_verts: np.ndarray = None
+    # convex-hull face planes of the mesh, geom frame: (F, 4) rows
+    # [nx, ny, nz, d] with n·x + d <= 0 inside (scipy ConvexHull
+    # equations). Supports the hull signed-distance field used by the
+    # mesh-vs-mesh and primitive-into-mesh-face narrowphase branches
+    # (contact._hull_sdf) — MuJoCo's mesh collision also operates on the
+    # convex hull (mjc convex collider).
+    mesh_hull: np.ndarray = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -532,13 +541,31 @@ def build_from_mjcf(
                       GEOM_MESH):
             raise NotImplementedError(f"geom type {gt} not supported")
         mesh_verts = None
+        mesh_hull = None
         if gt == GEOM_MESH:
             did = int(m.geom_dataid[g])
             va, vn = int(m.mesh_vertadr[did]), int(m.mesh_vertnum[did])
             # mesh vertices are stored in the mesh frame = geom frame after
             # the compiler re-centers them; plane-vs-mesh narrowphase ranks
-            # them by plane distance each step (contact.py)
-            mesh_verts = m.mesh_vert[va:va + vn].copy()
+            # them by plane distance each step (contact.py). Deduplicate
+            # near-coincident vertices (STL triangle soup repeats each
+            # vertex per incident face) so the top-K row selection can't
+            # burn several slots on one physical point.
+            mv = m.mesh_vert[va:va + vn].copy()
+            _, uidx = np.unique(np.round(mv / 1e-7).astype(np.int64),
+                                axis=0, return_index=True)
+            mesh_verts = mv[np.sort(uidx)]
+            # convex-hull face planes for the hull SDF (see Geom.mesh_hull).
+            # MuJoCo collides meshes as convex hulls, so the hull IS the
+            # collision geometry; degenerate (planar) meshes refuse loudly.
+            try:
+                from scipy.spatial import ConvexHull
+                mesh_hull = ConvexHull(mesh_verts).equations.copy()
+            except Exception as e:
+                raise NotImplementedError(
+                    f"mesh geom {g}: convex hull construction failed "
+                    f"({e}); degenerate/planar collision meshes are not "
+                    "supported") from e
         geoms.append(
             Geom(
                 gtype=gt,
@@ -554,6 +581,7 @@ def build_from_mjcf(
                 priority=int(m.geom_priority[g]),
                 condim=int(m.geom_condim[g]),
                 mesh_verts=mesh_verts,
+                mesh_hull=mesh_hull,
             )
         )
         geom_orig_idx.append(g)
@@ -605,13 +633,8 @@ def build_from_mjcf(
                 # signed-distance field — contact.collect_contact_rows)
                 a, b = b, a
                 g1, g2 = g2, g1
-            if g1.gtype == GEOM_MESH and g2.gtype == GEOM_MESH:
-                # mesh-vs-mesh needs convex-convex support mapping; refuse
-                # loudly rather than silently dropping a pair MuJoCo would
-                # resolve — exclude via contype/conaffinity instead
-                raise NotImplementedError(
-                    "mesh-vs-mesh collision not supported (set "
-                    "contype/conaffinity to exclude mesh-vs-mesh pairs)")
+            # mesh-vs-mesh pairs are supported: vertex-vs-hull-SDF both
+            # ways (contact.collect_contact_rows mesh branch)
             if (g1.gtype != GEOM_PLANE and g2.gtype != GEOM_MESH
                     and not include_self_collisions):
                 continue  # round-1: floor contacts only (dominant for locomotion)

@@ -227,23 +227,90 @@ def test_primitive_on_mesh_rest_parity():
     assert abs(q[2] - 0.28) < 0.02              # mesh top 0.2 + half box 0.08
 
 
-def test_mesh_vs_mesh_and_two_dynamic_guard():
-    """Unsupported mesh pair configurations refuse loudly at build/collect
-    time instead of silently dropping contacts MuJoCo would resolve."""
-    two_mesh = MESH_ON_BOX_XML.replace(
-        '<geom type="box" size="0.5 0.5 0.15" pos="0 0 0.15"/>',
-        '<geom type="mesh" mesh="cube" pos="0 0 0.1"/>')
-    with pytest.raises(NotImplementedError, match="mesh-vs-mesh"):
-        build_from_mjcf(xml=two_mesh)
-    two_dyn = BOX_ON_MESH_XML.replace(
+# round-5: mesh-vs-mesh (vertex-vs-hull-SDF both ways) and two-dynamic-body
+# mesh pairs (relative-jacobian rows) — these configurations previously
+# guarded out (r4 VERDICT missing-3). Small-on-big keeps the contact in the
+# clean face regime (small cube's vertices land in the big facet interior).
+SMALL_CUBE_MESH = ("0.06 0.06 0.06  0.06 0.06 -0.06  0.06 -0.06 0.06  "
+                   "0.06 -0.06 -0.06  -0.06 0.06 0.06  -0.06 0.06 -0.06  "
+                   "-0.06 -0.06 0.06  -0.06 -0.06 -0.06")
+
+MESH_ON_MESH_XML = f"""
+<mujoco>
+  <asset>
+    <mesh name="cube" vertex="{CUBE_MESH}"/>
+    <mesh name="small" vertex="{SMALL_CUBE_MESH}"/>
+  </asset>
+  <worldbody>
+    <geom type="mesh" mesh="cube" pos="0 0 0.1"/>
+    <body pos="0 0 0.3">
+      <freejoint/>
+      <geom type="mesh" mesh="small" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+TWO_DYN_STACK_XML = f"""
+<mujoco>
+  <asset>
+    <mesh name="cube" vertex="{CUBE_MESH}"/>
+    <mesh name="small" vertex="{SMALL_CUBE_MESH}"/>
+  </asset>
+  <worldbody>
+    <geom type="plane" size="2 2 0.1"/>
+    <body pos="0 0 0.12">
+      <freejoint/>
+      <geom type="mesh" mesh="cube" mass="1"/>
+    </body>
+    <body pos="0 0 0.3">
+      <freejoint/>
+      <geom type="mesh" mesh="small" mass="0.5"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_mesh_on_mesh_rest_parity():
+    """A free small cube MESH dropped onto a world cube MESH settles at the
+    MuJoCo C resting height (mesh-vs-mesh: small cube's bottom vertices vs
+    the big cube's convex-hull SDF)."""
+    m, d, q, qv = _settle_both(MESH_ON_MESH_XML)
+    assert np.isfinite(q).all()
+    assert np.abs(qv).max() < 0.05, qv
+    assert abs(q[2] - d.qpos[2]) < 5e-3, (q[2], d.qpos[2])
+    assert abs(q[2] - 0.26) < 0.02             # mesh top 0.2 + half small 0.06
+
+
+def test_two_dynamic_mesh_stack_parity():
+    """TWO dynamic bodies in a mesh pair: a free small mesh stacked on a
+    free big mesh on the floor. Rows carry relative jacobians (equal-and-
+    opposite wrenches), so the stack settles at MuJoCo C heights."""
+    m, d, q, qv = _settle_both(TWO_DYN_STACK_XML, steps=1500)
+    assert np.isfinite(q).all()
+    assert np.abs(qv).max() < 0.05, qv
+    # big cube on the floor; small cube on the big cube
+    assert abs(q[2] - d.qpos[2]) < 5e-3, (q[2], d.qpos[2])
+    assert abs(q[9] - d.qpos[9]) < 5e-3, (q[9], d.qpos[9])
+    assert abs(q[2] - 0.1) < 0.02
+    assert abs(q[9] - 0.26) < 0.02
+
+
+def test_two_dynamic_box_on_mesh_parity():
+    """Two-dynamic-body PRIMITIVE-vs-mesh: a free box dropped onto a free
+    cube mesh resting on the floor (previously refused with 'needs one
+    world-attached geom')."""
+    xml = BOX_ON_MESH_XML.replace(
         '<geom type="mesh" mesh="cube" pos="0 0 0.1"/>',
-        '<body pos="0 0 0.1"><freejoint/>'
+        '<geom type="plane" size="2 2 0.1"/>'
+        '<body pos="0 0 0.12"><freejoint/>'
         '<geom type="mesh" mesh="cube" mass="1"/></body>')
-    pm = build_from_mjcf(xml=two_dyn)
-    from humanoid_mppi_rl_tpu.physics import contact as ct
-    st = forward(pm, jnp.asarray(pm.qpos0.copy()), jnp.zeros(pm.nv))
-    with pytest.raises(NotImplementedError, match="world-attached"):
-        ct.collect_contact_rows(pm, st, st.S)
+    m, d, q, qv = _settle_both(xml, steps=1500)
+    assert np.isfinite(q).all()
+    assert np.abs(qv).max() < 0.05, qv
+    assert abs(q[2] - d.qpos[2]) < 5e-3, (q[2], d.qpos[2])   # mesh on floor
+    assert abs(q[9] - d.qpos[9]) < 5e-3, (q[9], d.qpos[9])   # box on mesh
 
 
 TENDON_ACT_XML = """
@@ -328,12 +395,22 @@ def test_mesh_sdf_rows_sphere_capsule():
     rows = ct.collect_contact_rows(pm, st, st.S)
     pen = np.asarray(rows["pen"])
     n = np.asarray(rows["n"])
-    active = pen > 0
-    assert active.sum() == 4, pen
+    # direction 1: the four bottom corners penetrate the sphere by 8 mm,
+    # normals radially up into the mesh body
     r_exp = 0.2 - np.sqrt(0.1 ** 2 + 0.1 ** 2 + 0.13 ** 2)
-    np.testing.assert_allclose(pen[active], r_exp, atol=1e-6)
-    for k in np.nonzero(active)[0]:
+    vert_rows = np.isclose(pen, r_exp, atol=1e-6)
+    assert vert_rows.sum() == 4, pen
+    for k in np.nonzero(vert_rows)[0]:
         assert n[k, 2] > 0.5, n[k]           # upward into the mesh body
+    # direction 2 (round-5): the sphere's top pokes 70 mm into the mesh's
+    # bottom FACE interior — the regime the vertex ranking alone misses
+    # (sphere top z=0.3 vs mesh bottom z=0.23). Row on the sphere side,
+    # normal = hull bottom-face normal (downward, into the world sphere;
+    # reaction pushes the mesh up).
+    face_rows = np.isclose(pen, 0.07, atol=1e-6)
+    assert face_rows.sum() == 1, pen
+    assert n[np.nonzero(face_rows)[0][0], 2] < -0.5
+    assert (pen > 1e-6).sum() == 5, pen
     # capsule branch: horizontal capsule under the same mesh; corner radial
     # distance to the axis sqrt(0.01+0.0169)=0.164 < r -> 36 mm penetration
     xml_c = MESH_ON_BOX_XML.replace(
@@ -346,7 +423,10 @@ def test_mesh_sdf_rows_sphere_capsule():
     rows = ct.collect_contact_rows(pm_c, st, st.S)
     pen = np.asarray(rows["pen"])
     n = np.asarray(rows["n"])
-    active = pen > 0
+    # capsule endpoints sit outside the mesh hull in x, so direction 2
+    # contributes no deep rows here (up to a ~1e-17 rounding hairline);
+    # the four corner-vertex rows carry the contact
+    active = pen > 1e-6
     assert active.sum() == 4, pen
     np.testing.assert_allclose(
         pen[active], 0.2 - np.sqrt(0.1 ** 2 + 0.13 ** 2), atol=1e-6)
