@@ -25,6 +25,7 @@ from typing import Callable, Optional, Tuple
 
 import numpy as np
 
+from ..costs import arm5 as arm5_cost
 from ..costs import cartpole as cartpole_cost
 from ..costs import hopper as hopper_cost
 from ..costs import humanoid as humanoid_cost
@@ -125,6 +126,11 @@ TASKS = {
             kernel_cost="quadruped"),
         _mk("hopper", "hopper.xml", hopper_cost.make_costs,
             K=64, T=50, lam=0.5, sigma=0.6, kernel_cost="hopper"),
+        # NEW (no reference analog): the fifth robot plans on the kernel
+        # path too — ball joints, multi-dof motors, and plane-vs-mesh
+        # contacts in the mega-kernel (round-5 kernel-path generality)
+        _mk("arm5_reach", "arm5.xml", arm5_cost.make_costs,
+            K=64, T=40, lam=0.5, sigma=0.8, kernel_cost="arm5"),
     ]
 }
 

@@ -442,8 +442,33 @@ def hopper(model: PhysicsModel, target_vel_x=1.0, target_height=1.0,
     return running, terminal
 
 
+def arm5(model: PhysicsModel, target=(0.35, 0.15, 0.55),
+         w_reach=10.0, w_vel=0.05, w_ctrl=0.01):
+    """Reach cost for the arm5 generality robot — kernel port of
+    costs/arm5.make_costs (round-5 kernel-path generality: ball joints,
+    multi-dof motors, and plane-vs-mesh contacts run in the mega-kernel)."""
+    hand = model.body_names.index("hand")
+    tx, ty, tz = [float(v) for v in target]
+    n_arm = 7
+
+    def reach(ctx: StepContext):
+        px, py, pz = ctx.xpos[hand]
+        return ((px - tx) ** 2 + (py - ty) ** 2 + (pz - tz) ** 2)
+
+    def running(ctx: StepContext, t):
+        return (w_reach * reach(ctx)
+                + w_vel * _sumsq(ctx.qvel[:n_arm])
+                + w_ctrl * _sumsq(ctx.ctrl))
+
+    def terminal(ctx: StepContext):
+        return 10.0 * w_reach * reach(ctx)
+
+    return running, terminal
+
+
 KERNEL_COSTS = {
     "cartpole": cartpole,
+    "arm5": arm5,
     "humanoid": humanoid,
     "humanoid_v1": humanoid_v1,
     "humanoid_hard": humanoid_hard,

@@ -24,14 +24,23 @@ def _atan_poly(t):
     return p * t
 
 
-def atan2(y, x):
-    """Four-quadrant arctangent, branchless (jnp.where)."""
+def atan2(y, x, precise: bool = False):
+    """Four-quadrant arctangent, branchless (jnp.where).
+
+    precise=True adds one Newton step on tan(r)=t over the reduced range
+    [0, pi/4] (sin/cos DO lower in Pallas), squaring the polynomial's
+    ~1e-5 error to ~1e-10 — needed where atan2 feeds the physics
+    (ball-joint quaternion springs/limits, scalar_physics.qlog), not just
+    cost shaping."""
     ax = jnp.abs(x)
     ay = jnp.abs(y)
     hi = jnp.maximum(ax, ay)
     lo = jnp.minimum(ax, ay)
     t = lo / jnp.maximum(hi, 1e-30)
     r = _atan_poly(t)
+    if precise:
+        s, c = jnp.sin(r), jnp.cos(r)
+        r = r + (t * c - s) * c
     r = jnp.where(ay > ax, _HALF_PI - r, r)
     r = jnp.where(x < 0, _PI - r, r)
     return jnp.where(y < 0, -r, r)

@@ -47,22 +47,22 @@ def build_rollout_kernel(
 
     cost_factory: ops.kernel_costs factory -> (running(ctx,t), terminal(ctx)).
     """
-    from ..physics.model import BALL, GEOM_MESH
-    for jnt in model.joints:
-        if jnt.jtype == BALL:
+    # round-5: ball joints (quaternion FK/S rows, springs, limits,
+    # integration), multi-dof ball/free motors, tendon and site
+    # transmissions, and plane-vs-mesh contacts all run on the kernel path
+    # (ops/scalar_physics extensions, kernel≡array parity at the arm5 robot
+    # in tests/test_kernel.py). Remaining array-engine-only: meshes in
+    # NON-plane pairs (primitive-vs-mesh / mesh-vs-mesh hull narrowphase).
+    from ..physics.model import GEOM_MESH, GEOM_PLANE
+    for pair in model.contact_pairs:
+        g1 = model.geoms[pair.geom1]
+        g2 = model.geoms[pair.geom2]
+        if (g1.gtype == GEOM_MESH or g2.gtype == GEOM_MESH) \
+                and g1.gtype != GEOM_PLANE:
             raise NotImplementedError(
-                "ball joints are array-engine-only (the scalar kernel's FK "
-                "would silently treat them as hinges)")
-    for act in model.actuators:
-        if act.ndof != 1:
-            raise NotImplementedError(
-                "multi-dof (ball/free) and tendon-transmission actuators "
-                "are array-engine-only")
-    for g in model.geoms:
-        if g.gtype == GEOM_MESH:
-            raise NotImplementedError(
-                "mesh collision geoms are array-engine-only (plane-vs-mesh "
-                "vertex ranking, physics/contact.py)")
+                "mesh-vs-primitive / mesh-vs-mesh pairs are array-engine-"
+                "only (hull-SDF narrowphase, physics/contact.py); the "
+                "kernel supports plane-vs-mesh")
     nq, nv, nu = model.nq, model.nv, model.nu
     T = horizon
     kw = dict(cost_kwargs or {})

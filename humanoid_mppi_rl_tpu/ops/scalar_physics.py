@@ -36,9 +36,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..physics.model import (
+    BALL,
     FREE,
     GEOM_BOX,
     GEOM_CAPSULE,
+    GEOM_MESH,
     GEOM_PLANE,
     GEOM_SPHERE,
     HINGE,
@@ -172,6 +174,27 @@ def qrot(q: Quat, v: Vec3) -> Vec3:
     return (fadd(vx, fmul(2, fadd(fmul(w, cx), dx))),
             fadd(vy, fmul(2, fadd(fmul(w, cy), dy))),
             fadd(vz, fmul(2, fadd(fmul(w, cz), dz))))
+
+
+def qconj(q: Quat) -> Quat:
+    w, x, y, z = q
+    return (w, -x if not _czero(x) else 0.0,
+            -y if not _czero(y) else 0.0,
+            -z if not _czero(z) else 0.0)
+
+
+def qlog(q: Quat):
+    """Rotation vector (axis*angle, folded to [-pi, pi]) of a unit
+    quaternion — spatial.quat_log in scalar form. Uses the branchless
+    kernel atan2 (no native atan2 in the Pallas TPU lowering)."""
+    from .kernel_math import atan2
+
+    w, x, y, z = q
+    sin_half = jnp.sqrt(x * x + y * y + z * z + 1e-24)
+    angle = 2.0 * atan2(sin_half, w, precise=True)
+    angle = jnp.where(angle > math.pi, angle - 2 * math.pi, angle)
+    s = angle / sin_half
+    return (x * s, y * s, z * s)
 
 
 def qmat(q: Quat):
@@ -381,6 +404,25 @@ def _fk_scalar(model: PhysicsModel, qpos: List) -> Tuple[Dict, Dict, Dict, Dict]
                     a_w = (R[0][i], R[1][i], R[2][i])
                     pxa = cross(pos, a_w)
                     S[d + 3 + i] = a_w + pxa
+            elif jnt.jtype == BALL:
+                # quaternion rotation about the joint anchor (mj_kinematics
+                # ball semantics, matching engine FK's BALL stage): S rows =
+                # columns of the post-joint rotation (body-local angular
+                # axes) anchored at the joint anchor
+                a = jnt.qposadr
+                qw, qx, qy, qz = qpos[a], qpos[a + 1], qpos[a + 2], qpos[a + 3]
+                inv = jax.lax.rsqrt(qw * qw + qx * qx + qy * qy + qz * qz)
+                q4 = (qw * inv, qx * inv, qy * inv, qz * inv)
+                jp = tuple(float(x) for x in jnt.pos)
+                anchor = add3(pos, qrot(quat, jp)) if jp != (0.0, 0.0, 0.0) else pos
+                quat = qmul(quat, q4)
+                if jp != (0.0, 0.0, 0.0):
+                    pos = sub3(anchor, qrot(quat, jp))
+                R = qmat(quat)
+                d = jnt.dofadr
+                for i in range(3):
+                    a_w = (R[0][i], R[1][i], R[2][i])
+                    S[d + i] = a_w + cross(anchor, a_w)
             elif jnt.jtype == SLIDE:
                 q = qpos[jnt.qposadr] - float(qpos0[jnt.qposadr])
                 ax = tuple(float(x) for x in jnt.axis)
@@ -423,6 +465,21 @@ def _velocities_and_sdot(model: PhysicsModel, S, qvel):
                 for i in range(6):
                     Vcur = add6(Vcur, scl6(S[d + i], qvel[d + i]))
                 free_dofs.append(d)
+            elif jnt.jtype == BALL:
+                # predecessor rule (model.pred_mask BALL branch): the three
+                # S rows are fixed in the POST-ball frame, so Sdot uses the
+                # chain velocity up to AND INCLUDING the ball's own dofs
+                # (cross terms between the 3 dofs are nonzero, unlike the
+                # single-dof case where S x S qd = 0)
+                d = jnt.dofadr
+                for i in range(3):
+                    Vcur = add6(Vcur, scl6(S[d + i], qvel[d + i]))
+                w1, l1 = Vcur[0:3], Vcur[3:6]
+                for i in range(3):
+                    w2, l2 = S[d + i][0:3], S[d + i][3:6]
+                    cw = cross(w1, w2)
+                    cl = add3(cross(w1, l2), cross(l1, w2))
+                    W[d + i] = tuple(x * qvel[d + i] for x in (cw + cl))
             else:
                 d = jnt.dofadr
                 # motion cross Vcur x S_d, times qd
@@ -529,14 +586,93 @@ def scalar_step(
     Fext: Dict[int, tuple] = {b: (0.0,) * 6 for b in range(model.nbody)}
     Dcon: Dict[int, tuple] = {}  # per-body 6x6 contact damping (21-sym)
 
-    # actuators
+    # actuators (each transmission matches the corresponding branch of
+    # engine._actuator_forces)
+    dof2q = {j.dofadr: j.qposadr for j in model.joints
+             if j.jtype in (SLIDE, HINGE)}
     for i, act in enumerate(model.actuators):
         u = ctrl[i]
         if act.ctrllimited:
             u = jnp.clip(u, float(act.ctrlrange[0]), float(act.ctrlrange[1]))
+        b0, b1, b2 = [float(x) for x in act.bias]
+        if act.site_bodyid >= 0:
+            # site transmission (mjTRN_SITE, no refsite): world wrench from
+            # the site-frame gear, moment = S-projection onto the site's
+            # body chain — state-dependent, all available in scalar form
+            b = act.site_bodyid
+            R_b = getR(b)
+            sp_l = tuple(float(x) for x in act.site_pos)
+            p_s = (add3(xpos[b], qrot(xquat[b], sp_l))
+                   if sp_l != (0.0, 0.0, 0.0) else xpos[b])
+            sq = tuple(float(x) for x in act.site_quat)
+            if sq != (1.0, 0.0, 0.0, 0.0):
+                R_s = qmat(qmul(xquat[b], sq))
+            else:
+                R_s = R_b
+            gv6 = [float(x) for x in act.gear6]
+            Fw = tuple(fadd(fadd(fmul(R_s[r][0], gv6[0]),
+                                 fmul(R_s[r][1], gv6[1])),
+                            fmul(R_s[r][2], gv6[2])) for r in range(3))
+            tq = tuple(fadd(fadd(fmul(R_s[r][0], gv6[3]),
+                                 fmul(R_s[r][1], gv6[4])),
+                            fmul(R_s[r][2], gv6[5])) for r in range(3))
+            tau0 = add3(tq, cross(p_s, Fw))
+            chain = _chain_dofs(model, b)
+            moment = {d: fadd(dot3(S[d][0:3], tau0), dot3(S[d][3:6], Fw))
+                      for d in chain}
+            vel = sum(fmul(moment[d], qvel[d]) for d in chain)
+            force = float(act.gain) * u
+            if b0:
+                force = force + b0
+            if b2:
+                force = force + b2 * vel
+            if act.forcelimited:
+                force = jnp.clip(force, float(act.forcerange[0]),
+                                 float(act.forcerange[1]))
+            for d in chain:
+                tau[d] = fadd(tau[d], fmul(moment[d], force))
+            continue
+        if act.tendon_id >= 0:
+            # fixed-tendon transmission: length/velocity are gear-scaled
+            # tendon coordinates, moment = gear * coef row (mjTRN_TENDON)
+            coef = model.tendon_coef[act.tendon_id]
+            nz = np.nonzero(coef)[0]
+            gear = float(act.gear)
+            L = sum(float(coef[d]) * qpos[dof2q[d]] for d in nz)
+            Ld = sum(float(coef[d]) * qvel[d] for d in nz)
+            force = float(act.gain) * u
+            if b0:
+                force = force + b0
+            if b1:
+                force = force + b1 * (gear * L)
+            if b2:
+                force = force + b2 * (gear * Ld)
+            if act.forcelimited:
+                force = jnp.clip(force, float(act.forcerange[0]),
+                                 float(act.forcerange[1]))
+            for d in nz:
+                tau[d] = fadd(tau[d], fmul(float(coef[d]) * gear, force))
+            continue
+        if act.ndof > 1:
+            # motor on a ball/free joint: gear vector over the joint's
+            # dofs; velocity bias = gear projection of qvel (motor-type
+            # only — build guards position/bias servos on ball/free)
+            gv = [float(x) for x in act.gear6[:act.ndof]]
+            vel = sum(fmul(gv[k], qvel[act.dofadr + k])
+                      for k in range(act.ndof))
+            force = float(act.gain) * u
+            if b2:
+                force = force + b2 * vel
+            if act.forcelimited:
+                force = jnp.clip(force, float(act.forcerange[0]),
+                                 float(act.forcerange[1]))
+            for k in range(act.ndof):
+                if gv[k]:
+                    tau[act.dofadr + k] = fadd(tau[act.dofadr + k],
+                                               fmul(gv[k], force))
+            continue
         gear = float(act.gear)
         force = float(act.gain) * u
-        b0, b1, b2 = [float(x) for x in act.bias]
         if b0:
             force = force + b0
         if b1:
@@ -587,6 +723,40 @@ def scalar_step(
             c_l = meff * d_r * b_ref * active
             tau[d] = fadd(tau[d], s_dir * f_l)
             g_diag[d] = fadd(g_diag[d], c_l)
+
+    # ball-joint quaternion springs: tau[dofs] -= k * subQuat(q, q_spring)
+    # (engine mj_passive ball branch — local-frame rotation vector)
+    for dofadr, qadr, k, qref in model.ball_springs:
+        q4 = (qpos[qadr], qpos[qadr + 1], qpos[qadr + 2], qpos[qadr + 3])
+        qr = tuple(float(x) for x in qref)
+        vec = qlog(qmul(qconj(qr), q4))
+        for i in range(3):
+            tau[dofadr + i] = fsub(tau[dofadr + i], float(k) * vec[i])
+
+    # ball-joint rotation-angle limits: constraint row J = -axis over the
+    # ball's 3 dofs, same solref/solimp law as single-dof limits (matches
+    # engine._limit_constraint_forces ball branch, penalty tier a0=0)
+    ball_limit_G: List[Tuple[int, tuple, object]] = []
+    for dofadr, qadr, max_angle, bl_solref, bl_solimp, bl_meff in model.ball_limits:
+        q4 = (qpos[qadr], qpos[qadr + 1], qpos[qadr + 2], qpos[qadr + 3])
+        rotvec = qlog(q4)
+        angle = jnp.sqrt(dot3(rotvec, rotvec) + 1e-24)
+        axis = scl3(rotvec, 1.0 / angle)
+        viol = jnp.maximum(angle - float(max_angle), 0.0)
+        v_row = -(dot3(axis, (qvel[dofadr], qvel[dofadr + 1],
+                              qvel[dofadr + 2])))
+        meff_b = float(bl_meff)
+        k_base, b_ref = _solref_kb_scalar(bl_solref, bl_solimp)
+        active = (viol > 0).astype(viol.dtype)
+        d_r = _imp_scalar(viol, bl_solimp)
+        f_b = jnp.maximum(
+            meff_b * d_r * (d_r * k_base * viol - b_ref * v_row), 0.0) * active
+        f_b = jnp.minimum(f_b, meff_b * jnp.maximum(
+            _REST_VCAP - v_row, 0.0) / float(h))
+        c_b = meff_b * d_r * b_ref * active
+        for i in range(3):
+            tau[dofadr + i] = fsub(tau[dofadr + i], axis[i] * f_b)
+        ball_limit_G.append((dofadr, axis, c_b))
 
     # fixed tendons
     tendon_G: List[Tuple[np.ndarray, object]] = []
@@ -680,6 +850,20 @@ def scalar_step(
                             for i in range(3)))
                         phi = dot3(n_c, corner) - p0_dot_n
                         pts.append((sub3(corner, scl3(n_c, 0.5 * phi)), phi))
+        elif g2.gtype == GEOM_MESH:
+            # plane-vs-mesh: EVERY deduplicated mesh vertex is a candidate
+            # point, penetration-gated like the box corners. (The array
+            # tier ranks and keeps the 4 deepest — lane-local top-k would
+            # serialize the kernel; with >4 simultaneously penetrating
+            # vertices the tiers differ, documented.)
+            Rg = getR(b) if gq_l == (1.0, 0.0, 0.0, 0.0) else qmat(gq)
+            for v_loc in g2.mesh_verts:
+                vx, vy, vz = [float(x) for x in v_loc]
+                w = add3(gp, tuple(
+                    Rg[i][0] * vx + Rg[i][1] * vy + Rg[i][2] * vz
+                    for i in range(3)))
+                phi = dot3(n_c, w) - p0_dot_n
+                pts.append((sub3(w, scl3(n_c, 0.5 * phi)), phi))
         else:  # pragma: no cover
             raise NotImplementedError
 
@@ -808,6 +992,13 @@ def scalar_step(
             for e in nz[: i_ + 1]:
                 key = (max(d, e), min(d, e))
                 Mh[key] = Mh[key] + h * float(coef[d]) * float(coef[e]) * c_act
+    # ball-limit implicit damping: rank-1 c_b * axis axis^T over the ball's
+    # 3 dofs (same chain -> all Mh entries exist)
+    for dofadr, axis, c_b in ball_limit_G:
+        for i_ in range(3):
+            for j_ in range(i_ + 1):
+                key = (dofadr + i_, dofadr + j_)
+                Mh[key] = Mh[key] + h * c_b * axis[i_] * axis[j_]
 
     # --- tree-sparse Cholesky + solve -------------------------------------
     # MJCF dofs are topologically ordered parents-first; zero fill-in
@@ -874,6 +1065,21 @@ def scalar_step(
     for jnt in model.joints:
         if jnt.jtype in (SLIDE, HINGE):
             qpos_new[jnt.qposadr] = qpos[jnt.qposadr] + h * qvel_new[jnt.dofadr]
+        elif jnt.jtype == BALL:
+            # local-frame quaternion integration, same dq form as the free
+            # joint's rotational block (engine integrate BALL branch)
+            qa, d = jnt.qposadr, jnt.dofadr
+            wx, wy, wz = qvel_new[d], qvel_new[d + 1], qvel_new[d + 2]
+            ang2 = wx * wx + wy * wy + wz * wz
+            ang = jnp.sqrt(ang2 + 1e-30)
+            half = 0.5 * h * ang
+            sinc = jnp.sin(half) / ang
+            dq = (jnp.cos(half), wx * sinc, wy * sinc, wz * sinc)
+            qn = qmul((qpos[qa], qpos[qa + 1], qpos[qa + 2], qpos[qa + 3]), dq)
+            norm_inv = jax.lax.rsqrt(qn[0] ** 2 + qn[1] ** 2
+                                     + qn[2] ** 2 + qn[3] ** 2)
+            for i in range(4):
+                qpos_new[qa + i] = qn[i] * norm_inv
         else:  # FREE
             qa, d = jnt.qposadr, jnt.dofadr
             for i in range(3):

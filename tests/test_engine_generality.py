@@ -148,15 +148,20 @@ def test_ball_limit_restores(models):
     assert abs(ang - ang_mj) < 0.05, (ang, ang_mj)
 
 
-def test_kernel_path_guards_loudly():
-    """The Pallas kernel path must refuse arm5 features instead of silently
-    mis-stepping them."""
+def test_kernel_path_builds_arm5_and_guards_mesh_pairs():
+    """Round-5: arm5 (ball joints, multi-dof motors, plane-vs-mesh) BUILDS
+    on the Pallas kernel path; non-plane mesh pairs still refuse loudly."""
     from humanoid_mppi_rl_tpu.ops.kernel_costs import KERNEL_COSTS
     from humanoid_mppi_rl_tpu.ops.rollout_kernel import build_rollout_kernel
 
     pm = build_from_mjcf(XML)
-    with pytest.raises(NotImplementedError):
-        build_rollout_kernel(pm, KERNEL_COSTS["cartpole"], 4, block_k=8)
+    rk = build_rollout_kernel(pm, KERNEL_COSTS["arm5"], 4, block_k=8,
+                              interpret=True)
+    assert callable(rk)
+    # a primitive-vs-mesh pair remains array-engine-only on the kernel
+    pm2 = build_from_mjcf(xml=MESH_ON_BOX_XML)
+    with pytest.raises(NotImplementedError, match="array-engine-only"):
+        build_rollout_kernel(pm2, KERNEL_COSTS["cartpole"], 4, block_k=8)
 
 
 # round-4 follow-up: primitive-vs-mesh narrowphase (vertex ranking against

@@ -62,6 +62,50 @@ def test_scalar_step_matches_engine(name):
     np.testing.assert_allclose(qvn, np.asarray(st2.qvel), atol=1e-8)
 
 
+def test_scalar_step_matches_engine_arm5():
+    """Round-5 kernel-path generality: the scalar step matches the array
+    engine's penalty tier on arm5 at machine-ish precision — ball-joint FK/
+    S rows/Sdot, quaternion springs, the shoulder rotation-angle limit,
+    multi-dof ball/free motors, ball integration, and plane-vs-mesh
+    contacts. States cover contact-free, crate-resting (mesh contact), and
+    past-the-70deg-shoulder-limit samples."""
+    pm = build_from_mjcf(_asset("arm5"))
+    rng = np.random.default_rng(3)
+    B = 4
+
+    def smallq(mag=0.3):
+        v = rng.normal(size=3) * mag
+        a = np.linalg.norm(v)
+        return np.concatenate([[np.cos(a / 2)],
+                               v / max(a, 1e-12) * np.sin(a / 2)])
+
+    qpos = np.tile(pm.qpos0, (B, 1)).astype(float)
+    for b in range(B):
+        qpos[b, 0:4] = smallq(0.5 if b == 1 else 0.2)   # shoulder ball
+        qpos[b, 4] = rng.uniform(-0.8, 0.0)             # elbow
+        qpos[b, 5:9] = smallq()                         # wrist ball
+        qpos[b, 11] = 0.097 if b == 2 else 1.0 + rng.uniform(0, 0.3)
+        qpos[b, 12:16] = smallq(0.1)                    # crate quat
+    v = np.array([1.3, 0.2, 0.0])                       # b=3: past the limit
+    a = np.linalg.norm(v)
+    qpos[3, 0:4] = np.concatenate([[np.cos(a / 2)], v / a * np.sin(a / 2)])
+    qvel = rng.normal(0, 0.3, (B, pm.nv))
+    ctrl = rng.uniform(-0.5, 0.5, (B, pm.nu))
+
+    st = jax.vmap(lambda qp, qv: forward(pm, qp, qv))(
+        jnp.asarray(qpos), jnp.asarray(qvel))
+    st2 = jax.vmap(lambda s, u: step(pm, s, u, solver="penalty"))(
+        st, jnp.asarray(ctrl))
+    qp_l = [jnp.asarray(qpos[:, i]) for i in range(pm.nq)]
+    qv_l = [jnp.asarray(qvel[:, i]) for i in range(pm.nv)]
+    u_l = [jnp.asarray(ctrl[:, i]) for i in range(pm.nu)]
+    qpn, qvn, _ = scalar_step(pm, qp_l, qv_l, u_l, jnp.zeros(B))
+    qpn = np.stack([np.asarray(x) for x in qpn], 1)
+    qvn = np.stack([np.asarray(x) for x in qvn], 1)
+    np.testing.assert_allclose(qpn, np.asarray(st2.qpos), atol=1e-10)
+    np.testing.assert_allclose(qvn, np.asarray(st2.qvel), atol=5e-8)
+
+
 def test_kernel_math():
     rng = np.random.default_rng(0)
     y = rng.normal(0, 2, 256)
@@ -75,6 +119,9 @@ def test_kernel_math():
 
 @pytest.mark.parametrize("name,kcost,jcost", [
     ("cartpole", kernel_costs.cartpole, cpc.make_costs),
+    ("arm5", kernel_costs.arm5,
+     lambda m: __import__("humanoid_mppi_rl_tpu.costs.arm5",
+                          fromlist=["make_costs"]).make_costs(m)),
 ])
 def test_rollout_kernel_matches_generic_path(name, kcost, jcost):
     """Pallas wrapper (interpret mode) vs the generic solver rollout.
