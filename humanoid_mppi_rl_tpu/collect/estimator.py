@@ -132,6 +132,69 @@ def humanoid_gait_estimator_costs(goal_pos=(3.0, 0.0, 1.28), nx: int = 30,
     return running, terminal
 
 
+def humanoid_fk_estimator_costs(model, dt: float = 0.005, nx: int = 30,
+                                cost_kwargs: Optional[dict] = None):
+    """Evaluate the PROVEN full-state walking cost on surrogate rollouts by
+    reconstructing full kinematics from the predicted qpos via FK.
+
+    Round-5 control experiment (scripts/dev_estimator_cost_truth.py): the
+    position-only time-phased estimator cost CROUCHES even on TRUE dynamics
+    (0.19 m / 240 steps, torso sinks to 0.61 m) at the estimator operating
+    point, while the humanoid_walk task cost walks 0.38-0.60 m there — the
+    cost, not the surrogate, was the round-4 blocker. The surrogate
+    predicts qpos (+ foot heights); everything the walking cost reads
+    (xpos of shins/feet, body velocities for the gait phase) is a pure
+    function of qpos + FD(qpos): reconstruct qvel by finite differences
+    (root linear from xyz, root angular from the local quaternion
+    difference — the same FD trick the reference's v2.py collector applies
+    to the REAL plant, src/Humanoid_datacollection_v2.py:68-83 — joint
+    rates directly), run the engine's forward() kinematics (FK + body
+    velocities, no dynamics), and apply costs/humanoid.make_costs with the
+    humanoid_walk preset weights on the reconstructed PhysicsState.
+
+    Operates on the [x; x_prev; t_abs] FD/time augmentation
+    (make_fd_time_augmented with fd_time_augment=nx)."""
+    from ..costs import humanoid as humc
+    from ..physics import spatial as _sp
+    from ..physics.engine import forward as _fk_forward
+
+    kw = dict(humc.WEIGHTS_WALK, target=(10.0, 0.0, 1.28),
+              w_height=22.0, w_orient=17.0, w_goal_xy=1.0,
+              w_clearance=1.0, w_foot_lift=10.0,
+              w_swing_vel=0.20, target_vel=(0.4, 0.0))
+    kw.update(cost_kwargs or {})
+    run_full, term_full = humc.make_costs(model, **kw)
+    nv = model.nv
+
+    def reconstruct(x_aug):
+        q = x_aug[:28]
+        prev = x_aug[nx:nx + 28]
+        tau = x_aug[2 * nx]
+        v_lin = (q[0:3] - prev[0:3]) / dt
+        w_loc = _sp.quat_sub(q[3:7], prev[3:7]) / dt
+        v_jnt = (q[7:28] - prev[7:28]) / dt
+        qvel = jnp.concatenate([v_lin, w_loc, v_jnt])[:nv]
+        return _fk_forward(model, q, qvel, time=tau)
+
+    def _run1(x_aug, u, t):
+        return run_full(reconstruct(x_aug), u, t)
+
+    def _term1(x_aug, t):
+        return term_full(reconstruct(x_aug), t)
+
+    def running(x, u, t):
+        if x.ndim == 2:       # batched rollouts (flash kernel path)
+            return jax.vmap(lambda xa, ua: _run1(xa, ua, t))(x, u)
+        return _run1(x, u, t)
+
+    def terminal(x, t):
+        if x.ndim == 2:
+            return jax.vmap(lambda xa: _term1(xa, t))(x)
+        return _term1(x, t)
+
+    return running, terminal
+
+
 def quadruped_estimator_costs(goal_pos=(2.0, 0.0, 0.35), action_dim=12):
     """reference src/quadruped_mppi_estimator.py:48-55"""
     goal = jnp.asarray(goal_pos)

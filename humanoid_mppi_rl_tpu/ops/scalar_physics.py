@@ -829,10 +829,35 @@ def scalar_step(
             r = float(g2.size[0])
             phi = dot3(n_c, gp) - p0_dot_n - r
             pts.append((sub3(gp, scl3(n_c, r + 0.5 * phi)), phi))
+        elif g2.gtype == GEOM_CAPSULE and g2.gtype_orig == 5:
+            # EXACT cylinder-vs-plane, matching the array tier (physics/
+            # contact.py round-5): 3 rim points per cap — downhill extreme
+            # + two at +-120 deg, downhill direction regularized toward the
+            # cylinder's own x-axis near standing
+            r, hl = float(g2.size[0]), float(g2.size[1])
+            Rg = getR(b) if gq_l == (1.0, 0.0, 0.0, 0.0) else qmat(gq)
+            axis = (Rg[0][2], Rg[1][2], Rg[2][2])
+            adn = dot3(axis, n_c)
+            d_cap = tuple(-(n_c[i] - adn * axis[i]) for i in range(3))
+            dn2 = dot3(d_cap, d_cap)
+            dn = jnp.sqrt(dn2 + 1e-30)
+            ok = dn > 1e-6
+            xax = (Rg[0][0], Rg[1][0], Rg[2][0])
+            dhat = tuple(jnp.where(ok, d_cap[i] / dn, xax[i])
+                         for i in range(3))
+            dh_n = jax.lax.rsqrt(dot3(dhat, dhat))
+            dhat = scl3(dhat, dh_n)
+            perp = cross(axis, dhat)
+            for sgn in (-1.0, 1.0):
+                ce = add3(gp, scl3(axis, sgn * hl))
+                for ca, sa in ((1.0, 0.0), (-0.5, 0.8660254037844386),
+                               (-0.5, -0.8660254037844386)):
+                    p_rim = add3(ce, add3(scl3(dhat, r * ca),
+                                          scl3(perp, r * sa)))
+                    phi = dot3(n_c, p_rim) - p0_dot_n
+                    pts.append((sub3(p_rim, scl3(n_c, 0.5 * phi)), phi))
         elif g2.gtype == GEOM_CAPSULE:
             r, hl = float(g2.size[0]), float(g2.size[1])
-            if g2.gtype_orig == 5:  # cylinder: inscribed capsule
-                hl = max(hl - r, 0.0)
             Rg = getR(b) if gq_l == (1.0, 0.0, 0.0, 0.0) else qmat(gq)
             axis = (Rg[0][2], Rg[1][2], Rg[2][2])
             for sgn in (-1.0, 1.0):

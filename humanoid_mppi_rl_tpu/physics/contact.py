@@ -555,11 +555,35 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
             phi_s = jnp.dot(n, g_pos - p_pos) - r
             add(g_pos - n * (r + 0.5 * phi_s), phi_s,
                 _make_frame_tangent(n))
+        elif g2.gtype == GEOM_CAPSULE and g2.gtype_orig == 5:
+            # EXACT cylinder-vs-plane (round-5; previously the inscribed-
+            # capsule approximation rounded off the end-cap rim): per cap,
+            # three rim points — the rim extreme in the most-downhill cap
+            # direction plus two at +-120 degrees. Tilted: the downhill rim
+            # point is the true deepest feature. Lying: both caps' downhill
+            # points form the side line contact. Standing: the +-120 tripod
+            # spans the flat face (any support set spanning the face gives
+            # the same rest height). Near-standing the downhill direction
+            # is regularized toward the cylinder's own x-axis (continuous,
+            # body-fixed).
+            r, hl = size[0], size[1]
+            axis = g_R[:, 2]
+            d = -(n - jnp.dot(axis, n) * axis)       # -n projected to cap
+            dn = jnp.linalg.norm(d)
+            dhat = jnp.where(dn > 1e-6, d / jnp.maximum(dn, 1e-30),
+                             g_R[:, 0])
+            dhat = dhat / jnp.linalg.norm(dhat)
+            perp = jnp.cross(axis, dhat)
+            t1_cyl = _make_frame_tangent(n)
+            for sgn in (-1.0, 1.0):
+                c_end = g_pos + sgn * hl * axis
+                for ca, sa in ((1.0, 0.0), (-0.5, 0.8660254037844386),
+                               (-0.5, -0.8660254037844386)):
+                    p_rim = c_end + r * (ca * dhat + sa * perp)
+                    phi_c = jnp.dot(n, p_rim - p_pos)
+                    add(p_rim - n * (0.5 * phi_c), phi_c, t1_cyl)
         elif g2.gtype == GEOM_CAPSULE:
-            r = size[0]
-            # cylinders: inscribed capsule (see _self_pair_static._half_len)
-            hl = (jnp.maximum(size[1] - size[0], 0.0)
-                  if g2.gtype_orig == 5 else size[1])
+            r, hl = size[0], size[1]
             axis = g_R[:, 2]
             # MuJoCo plane-capsule frame: t1 = capsule axis projected onto
             # the plane (falls back to makeFrame when the capsule stands

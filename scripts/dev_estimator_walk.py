@@ -44,7 +44,8 @@ def main():
     import jax.numpy as jnp
 
     from humanoid_mppi_rl_tpu.collect.estimator import (
-        ESTIMATOR_CONFIGS, EstimatorRunner, humanoid_gait_estimator_costs)
+        ESTIMATOR_CONFIGS, EstimatorRunner, humanoid_fk_estimator_costs,
+        humanoid_gait_estimator_costs)
     from humanoid_mppi_rl_tpu.envs.tasks import TASKS
     from humanoid_mppi_rl_tpu.learning.train import load_checkpoint
     from humanoid_mppi_rl_tpu.models.predictors import make_model
@@ -85,8 +86,18 @@ def main():
     }
     names = args.configs or list(sweeps)
     for name in names:
-        kw = sweeps[name]
-        running, terminal = humanoid_gait_estimator_costs(**kw)
+        if name.startswith("fk"):
+            # round-5: the proven humanoid_walk task cost evaluated on
+            # FK-reconstructed kinematics of the predicted qpos (the r5
+            # truth-control experiment showed the position-only gait cost
+            # crouches even on true dynamics — dev_estimator_cost_truth.py)
+            ckw = {"fk_tv03": dict(target_vel=(0.3, 0.0)),
+                   "fk": {}, "fk_goal25": dict(w_goal_xy=2.5)}[name]
+            running, terminal = humanoid_fk_estimator_costs(
+                pm, cost_kwargs=ckw)
+        else:
+            kw = sweeps[name]
+            running, terminal = humanoid_gait_estimator_costs(**kw)
         est = EstimatorRunner(spec.asset_path(), apply_fn, params, cfg,
                               running, terminal, state_fn=state_fn,
                               batched_dynamics=args.flash,

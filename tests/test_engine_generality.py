@@ -318,6 +318,38 @@ def test_two_dynamic_box_on_mesh_parity():
     assert abs(q[9] - d.qpos[9]) < 5e-3, (q[9], d.qpos[9])   # box on mesh
 
 
+CYL_XML = """
+<mujoco>
+  <worldbody>
+    <geom type="plane" size="3 3 0.1"/>
+    <body pos="0 0 {z0}">
+      <freejoint/>
+      <geom type="cylinder" size="0.08 0.15" mass="1" euler="{euler}"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+@pytest.mark.parametrize("euler,z0,expect_z", [
+    ("90 0 0", 0.3, 0.08),    # lying: rests on the side line at z=r
+    ("0 0 0", 0.4, 0.15),     # standing: rests on the cap face at z=hl
+    ("75 0 0", 0.3, None),    # tilted: falls over and settles vs MuJoCo
+])
+def test_cylinder_plane_rest_parity(euler, z0, expect_z):
+    """Round-5 stretch (r4 VERDICT item 9): EXACT cylinder-vs-plane
+    narrowphase (3 rim points per cap) replaces the inscribed-capsule
+    approximation — resting height matches MuJoCo C in the lying, standing,
+    and tipped-over regimes."""
+    xml = CYL_XML.format(z0=z0, euler=euler)
+    m, d, q, qv = _settle_both(xml, steps=2000)
+    assert np.isfinite(q).all()
+    assert np.abs(qv).max() < 0.1, qv
+    assert abs(q[2] - d.qpos[2]) < 5e-3, (q[2], d.qpos[2])
+    if expect_z is not None:
+        assert abs(q[2] - expect_z) < 0.01, q[2]
+
+
 TENDON_ACT_XML = """
 <mujoco>
   <option gravity="0 0 -9.81"/>

@@ -40,8 +40,10 @@ def test_at_least_ten_goal_runs_committed():
     assert s["runs_goal"] >= 10, s["runs_goal"]
     runs = _runs()
     assert len(runs) == s["runs_goal"]
-    # every result marked goal has its run dir; steps match the CSV rows
-    goal_results = {i: steps for i, ok, steps in s["results"] if ok}
+    # every result marked goal has its run dir; the successful attempt's
+    # steps match the CSV rows (steps_executed additionally counts retry
+    # attempts — the strict-accounting basis of steps_per_s_strict)
+    goal_results = {r["run"]: r for r in s["results"] if r["goal"]}
     for rd in runs:
         i = int(os.path.basename(rd).split("_")[1])
         assert i in goal_results, rd
@@ -49,9 +51,24 @@ def test_at_least_ten_goal_runs_committed():
                             delimiter=",", ndmin=2)
         actions = np.loadtxt(os.path.join(rd, "actions.csv"),
                              delimiter=",", ndmin=2)
-        assert states.shape == (goal_results[i], 37)   # reference layout
-        assert actions.shape == (goal_results[i], 12)
+        assert states.shape == (goal_results[i]["steps_saved"], 37)
+        assert actions.shape == (goal_results[i]["steps_saved"], 12)
+        assert goal_results[i]["steps_executed"] >= goal_results[i]["steps_saved"]
         assert np.isfinite(states).all()
+
+
+def test_collection_throughput_and_goal_rate():
+    """Round-5 VERDICT item 5: ONE number of record — strict wall-clock
+    accounting (every executed control step across retries, wall including
+    compile) at >=100 steps/s and >=60% goal rate."""
+    s = _summary()["collect"]
+    if "steps_per_s_strict" not in s:
+        pytest.skip("pre-r5 artifact schema")
+    assert s["steps_per_s_strict"] >= 100.0, s["steps_per_s_strict"]
+    assert s["goal_rate"] >= 0.6, s["goal_rate"]
+    # executed-step accounting is self-consistent
+    assert s["control_steps_executed"] == sum(
+        r["steps_executed"] for r in s["results"])
 
 
 def test_committed_runs_actually_trot():
@@ -95,6 +112,10 @@ def test_train_on_self_collected_data():
 
 
 def test_estimator_closed_loop_on_self_trained_surrogate():
+    """BEHAVIOR, not survival (r4 VERDICT weak-2): the closed loop on the
+    rollout_k-trained surrogate must progress TOWARD the goal — the r4
+    one-step-contract loop drifted backward 0.25 m and still passed the old
+    stability-only gate."""
     s = _summary()["estimator"]
     data = np.load(os.path.join(DIR, "estimator_closedloop.npz"))
     states = data["states"]
@@ -103,3 +124,5 @@ def test_estimator_closed_loop_on_self_trained_surrogate():
     assert np.isfinite(states).all()
     assert states[:, 2].min() > 0.2      # never falls
     assert abs(float(states[:, 2].min()) - s["min_trunk_z"]) < 1e-3
+    assert s["forward_progress_m"] > 0, s["forward_progress_m"]
+    assert float(states[-1, 0] - states[0, 0]) > 0
