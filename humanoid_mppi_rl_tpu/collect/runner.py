@@ -364,6 +364,8 @@ def collect_humanoid(
         init = fwd_j(jnp.asarray(qpos, jnp.float32),
                      jnp.asarray(qvel, jnp.float32))
 
+        steps_executed = 0
+        attempts = 0
         for attempt in range(retries + 1):
             res = runner.run(max_steps=max_steps, init_state=init,
                              seed=seed + ep + attempt * 65537,
@@ -372,12 +374,21 @@ def collect_humanoid(
                              params=goal, metrics_path=metrics_path,
                              stall_steps=stall_steps,
                              stall_min_progress=stall_min_progress)
+            steps_executed += res.steps
+            attempts += 1
             if res.goal_reached:
                 break
         if save and res.goal_reached:
             # reference saves ONLY successful episodes (:268-275)
             res.logger.save_split_dirs(out_dir)
-        results.append((ep, res.goal_reached, res.steps))
+        # strict accounting (see collect_quadruped): steps_executed counts
+        # every executed control step across retry attempts
+        results.append(dict(
+            run=ep, goal=bool(res.goal_reached), steps_saved=int(res.steps),
+            steps_executed=int(steps_executed), attempts=int(attempts),
+            outcome=("goal" if res.goal_reached else
+                     ("fell" if res.fell else
+                      ("stalled" if res.stalled else "cap")))))
     return results
 
 

@@ -79,12 +79,15 @@ def main():
             num_shards=args.num_shards,
             metrics_path=os.path.join(out, "collect_metrics.jsonl"))
         wall = time.time() - t0
-        n_ok = sum(1 for _, ok, _ in results if ok)
-        steps = sum(s for _, _, s in results)
+        n_ok = sum(1 for r in results if r["goal"])
+        # strict accounting (r4 VERDICT weak-3): every executed control
+        # step across retries, wall clock including the one-time compile
+        steps = sum(r["steps_executed"] for r in results)
         summary["collect"] = {
             "episodes_attempted": len(results), "episodes_goal": n_ok,
-            "control_steps": steps, "wall_s": round(wall, 1),
-            "steps_per_s": round(steps / wall, 2),
+            "goal_rate": round(n_ok / max(len(results), 1), 3),
+            "control_steps_executed": steps, "wall_s": round(wall, 1),
+            "steps_per_s_strict": round(steps / wall, 2),
             "task": args.task, "results": results,
         }
         json.dump(summary, open(summary_path, "w"), indent=1)

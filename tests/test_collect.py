@@ -23,7 +23,8 @@ def test_quadruped_collect_runs_and_layout(tmp_path):
     # trivial goal at the start position -> goal reached immediately -> saved
     res = collect_quadruped(n_runs=1, out_base=out, max_steps=6,
                             goal_tolerance=1e9, save=True)
-    assert res == [(0, True, 1)]
+    assert res == [dict(run=0, goal=True, steps_saved=1, steps_executed=1,
+                        attempts=1, outcome="goal")]
     run_dir = os.path.join(out, "run_000")
     states = np.loadtxt(os.path.join(run_dir, "states.csv"), delimiter=",", ndmin=2)
     actions = np.loadtxt(os.path.join(run_dir, "actions.csv"), delimiter=",", ndmin=2)
@@ -57,13 +58,14 @@ def test_humanoid_collect_gating_and_layout(tmp_path, monkeypatch):
     # src/Humanoid_datacollection_v2.jl:268-275 semantics)
     res = collect_humanoid(n_episodes=1, out_dir=out, max_steps=4,
                            mppi_override=TINY)
-    assert res == [(0, False, 4)]
+    assert res == [dict(run=0, goal=False, steps_saved=4, steps_executed=4,
+                        attempts=1, outcome="cap")]
     assert glob.glob(os.path.join(out, "*", "*.csv")) == []
 
     # force goal reached -> saved with the 57-col foot-height layout
     res = collect_humanoid(n_episodes=1, out_dir=out, max_steps=4,
                            goal_threshold=1e9, mppi_override=TINY)
-    assert res[0][1] is True
+    assert res[0]["goal"] is True
     sfiles = glob.glob(os.path.join(out, "states_ft", "*.csv"))
     assert len(sfiles) == 1
     states = np.loadtxt(sfiles[0], delimiter=",", ndmin=2)
@@ -75,8 +77,8 @@ def test_episode_sharding_partitions_episodes():
                           shard_index=0, num_shards=2, mppi_override=TINY)
     r1 = collect_humanoid(n_episodes=4, max_steps=2, save=False,
                           shard_index=1, num_shards=2, mppi_override=TINY)
-    assert [e for e, *_ in r0] == [0, 2]
-    assert [e for e, *_ in r1] == [1, 3]
+    assert [e["run"] for e in r0] == [0, 2]
+    assert [e["run"] for e in r1] == [1, 3]
 
 
 def test_pose_and_goal_randomization_distributions():

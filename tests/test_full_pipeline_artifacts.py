@@ -35,11 +35,18 @@ def test_collect_summary_matches_metrics():
     s = _summary()["collect"]
     assert s["episodes_attempted"] == 80
     assert s["episodes_goal"] >= 20
-    # per-episode results agree with the headline numbers
+    # per-episode results agree with the headline numbers (pre-r5
+    # artifacts store (ep, goal, steps) tuples; r5+ store strict-
+    # accounting dicts — see collect_humanoid)
     results = s["results"]
     assert len(results) == s["episodes_attempted"]
-    assert sum(1 for _, ok, _ in results if ok) == s["episodes_goal"]
-    assert sum(st for _, _, st in results) == s["control_steps"]
+    if results and isinstance(results[0], (list, tuple)):
+        assert sum(1 for _, ok, _ in results if ok) == s["episodes_goal"]
+        assert sum(st for _, _, st in results) == s["control_steps"]
+    else:
+        assert sum(1 for r in results if r["goal"]) == s["episodes_goal"]
+        assert sum(r["steps_executed"] for r in results) == \
+            s["control_steps_executed"]
     # raw metrics JSONL carries the per-chunk replan latencies
     lat = []
     with open(os.path.join(DIR, "collect_metrics.jsonl")) as f:
