@@ -555,25 +555,49 @@ def inverse_dynamics(model: PhysicsModel, state: PhysicsState,
     return out
 
 
-def actuator_moment(model: PhysicsModel) -> "jnp.ndarray":
+def actuator_moment(model: PhysicsModel,
+                    state: "PhysicsState" = None) -> "jnp.ndarray":
     """(nu, nv) transmission moment: qfrc_actuator = moment^T @ force with
     force = gain*ctrl for the motor actuators of the task robots (mujoco
-    data.actuator_moment analog; constant for joint transmissions)."""
+    data.actuator_moment analog; constant for joint/tendon transmissions).
+
+    Site-transmission moments are STATE-DEPENDENT (the world wrench rotates
+    with the site's body): pass ``state`` kinematics to evaluate them at
+    that configuration (so solver/lqr can linearize thruster-style models,
+    round-4 advisor item); without a state they refuse loudly."""
     import numpy as np
 
     M = np.zeros((model.nu, model.nv))
+    site_rows = []
     for i, a in enumerate(model.actuators):
         if a.site_bodyid >= 0:
-            raise NotImplementedError(
-                "site-transmission moments are state-dependent; use "
-                "_actuator_forces with state kinematics")
-        if a.tendon_id >= 0:
+            if state is None:
+                raise NotImplementedError(
+                    "site-transmission moments are state-dependent; pass "
+                    "state kinematics (actuator_moment(model, state)) or "
+                    "use _actuator_forces")
+            site_rows.append(i)
+        elif a.tendon_id >= 0:
             M[i] = a.gear * model.tendon_coef[a.tendon_id]
         elif a.ndof > 1:
             M[i, a.dofadr:a.dofadr + a.ndof] = a.gear6[:a.ndof]
         else:
             M[i, a.dofadr] = a.gear
-    return jnp.asarray(M)
+    Mj = jnp.asarray(M, state.qpos.dtype if state is not None else None)
+    for i in site_rows:
+        a = model.actuators[i]
+        dtype = state.qpos.dtype
+        b = a.site_bodyid
+        R_b = sp.quat_to_mat(state.xquat[b])
+        p_s = state.xpos[b] + R_b @ jnp.asarray(a.site_pos, dtype)
+        R_s = R_b @ sp.quat_to_mat(jnp.asarray(a.site_quat, dtype))
+        gv = jnp.asarray(a.gear6, dtype)
+        Fw = R_s @ gv[:3]
+        tau0 = R_s @ gv[3:] + jnp.cross(p_s, Fw)
+        anc = jnp.asarray(model.ancestor_mask, dtype)[b]
+        row = (state.S[:, :3] @ tau0 + state.S[:, 3:] @ Fw) * anc
+        Mj = Mj.at[i].set(row)
+    return Mj
 
 
 def body_com_jacobian(model: PhysicsModel, state: PhysicsState,

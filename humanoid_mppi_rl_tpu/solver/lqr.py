@@ -139,7 +139,8 @@ def stand_setpoint(model: PhysicsModel, keyframe: str = "stand_on_left_leg",
     qpos0 = jnp.asarray(key_qpos).at[2].add(height)
     st0 = forward(model, qpos0, zvel)
     qfrc0 = inverse_dynamics(model, st0)
-    M_act = actuator_moment(model)                  # (nu, nv)
+    M_act = actuator_moment(model, st0)             # (nu, nv) — state
+    # kinematics let site-transmission models linearize too (r4 advisor)
     # ctrl0 solves M_act^T ctrl = qfrc0 in least squares (fully-actuated
     # below the free joint, so the actuated rows match exactly)
     ctrl0, *_ = jnp.linalg.lstsq(M_act.T, qfrc0)

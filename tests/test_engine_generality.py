@@ -521,6 +521,29 @@ def test_site_actuator_parity():
     np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-7)
 
 
+def test_site_actuator_moment_with_state():
+    """actuator_moment(model, state) evaluates the state-dependent site
+    rows (r4 advisor item: LQR can linearize thruster models); without a
+    state it still refuses loudly. Cross-checked against the engine's
+    qfrc_actuator: qfrc == moment^T (gain*u) for the pure-motor model."""
+    from humanoid_mppi_rl_tpu.physics.engine import (_actuator_forces,
+                                                     actuator_moment)
+    m = mujoco.MjModel.from_xml_string(SITE_ACT_XML)
+    pm = build_from_mjcf(xml=SITE_ACT_XML)
+    with pytest.raises(NotImplementedError, match="state-dependent"):
+        actuator_moment(pm)
+    rng = np.random.default_rng(5)
+    qpos = pm.qpos0.copy()
+    qpos[3:7] = _small_quat(rng)
+    qpos[7] += 0.3
+    st = forward(pm, jnp.asarray(qpos), jnp.zeros(pm.nv))
+    M = np.asarray(actuator_moment(pm, st))
+    u = np.array([5.0, 0.3, -0.2])
+    qfrc = np.asarray(_actuator_forces(pm, st.qpos, st.qvel,
+                                       jnp.asarray(u), st))
+    np.testing.assert_allclose(M.T @ u, qfrc, atol=1e-12)
+
+
 def test_site_refsite_guard():
     """refsite-relative site transmissions refuse loudly."""
     xml = SITE_ACT_XML.replace(
