@@ -56,6 +56,8 @@ def main():
                          "reference's one-step contract, which produced "
                          "the backward-drifting r4 estimator)")
     ap.add_argument("--grad-clip", type=float, default=1.0)
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override the preset learning rate (0 = preset)")
     ap.add_argument("--estimator-steps", type=int, default=200)
     ap.add_argument("--estimator-k", type=int, default=2048)
     ap.add_argument("--estimator-horizon", type=int, default=25)
@@ -94,6 +96,11 @@ def main():
 
         gait = None if args.reference_cost else np.asarray(GAIT_TUNED,
                                                            np.float32)
+        # fresh metrics file: the committed JSONL must cover exactly this
+        # collect (appending across runs muddied the r4->r5 accounting)
+        mpath = os.path.join(out, "collect_metrics.jsonl")
+        if os.path.exists(mpath):
+            os.remove(mpath)
         t0 = time.time()
         results = collect_quadruped(
             n_runs=args.runs, out_base=run_base, seed=args.seed,
@@ -160,12 +167,16 @@ def main():
         from humanoid_mppi_rl_tpu.learning.train import (
             PRESET_CONFIGS, train_model)
 
+        tpath = os.path.join(out, "train_metrics.jsonl")
+        if os.path.exists(tpath):
+            os.remove(tpath)   # fresh per-run metrics (see collect stage)
         cfg = dataclasses.replace(
             PRESET_CONFIGS["quadruped"], epochs=args.epochs,
+            lr=args.lr or PRESET_CONFIGS["quadruped"].lr,
             ckpt_dir=os.path.abspath(ckpt_dir), scan_epochs=True,
             rollout_k=args.rollout_k, grad_clip=args.grad_clip,
             plot_path=os.path.join(out, "loss_curve.png"),
-            log_path=os.path.join(out, "train_metrics.jsonl"))
+            log_path=tpath)
         t0 = time.time()
         res = train_model(os.path.join(flat, "states"),
                           os.path.join(flat, "actions"), cfg)
