@@ -255,6 +255,55 @@ def quadruped_gait_estimator_costs(home12, goal_xy=(2.0, 0.0), nx: int = 37,
     return running, terminal
 
 
+def quadruped_fd_gait_estimator_costs(home12, goal_xy=(2.0, 0.0),
+                                      nx: int = 19, dt: float = 0.002,
+                                      target_vel: float = 0.45,
+                                      w_home: float = 3000.0):
+    """The trot cost over a POSITION-ONLY quad surrogate state [qpos(19)]
+    with FD velocities from the [x; x_prev; t_abs] augmentation — the
+    humanoid recipe (round-5: position-only rollout_k training gave the
+    humanoid an 80x open-loop sanity gain; the full-37-state quad
+    surrogate still predicts +-0.3 m root moves in 0.05 s open-loop, so
+    velocity prediction is the failing part of that contract)."""
+    import math
+
+    gx, gy = float(goal_xy[0]), float(goal_xy[1])
+    home = jnp.asarray(home12)
+
+    def running(x_aug, u, t):
+        q = x_aug[..., :nx]
+        qp = x_aug[..., nx:2 * nx]
+        tau = x_aug[..., 2 * nx]
+        vx = (q[..., 0] - qp[..., 0]) / dt
+        vy = (q[..., 1] - qp[..., 1]) / dt
+        vleg = (q[..., 7:10] - qp[..., 7:10]) / dt
+        phase = (tau % 0.5) / 0.5 * 2 * math.pi
+        trot = jnp.sin(phase)
+        tv = target_vel + 0.1 * jnp.sin(phase)
+        c = 10000.0 * (q[..., 2] - 0.4) ** 2
+        c += 30000.0 * (vx - tv) ** 2
+        c += 500.0 * (q[..., 6] ** 2 + q[..., 7] ** 2)   # [sic] reference idx
+        c += 20.0 * jnp.sum(vleg ** 2, axis=-1)
+        c += 50000.0 * (q[..., 1] ** 2 + vy ** 2)
+        c += 0.01 * jnp.sum(u ** 2, axis=-1)
+        c += 3000.0 * ((q[..., 0] - gx) ** 2 + (q[..., 1] - gy) ** 2)
+        f1 = (q[..., 2] - q[..., 11]) * trot             # [sic] reference idx
+        f2 = (q[..., 5] - q[..., 8]) * (-trot)
+        c += 34000.0 * (f1 * f1 + f2 * f2)
+        c += w_home * jnp.sum((q[..., 7:19] - home) ** 2, axis=-1)
+        nk = 0.5
+        c += 2000.0 * ((q[..., 2] - nk) ** 2 + (q[..., 5] - nk) ** 2
+                       + (q[..., 8] - nk) ** 2 + (q[..., 11] - nk) ** 2)
+        c += 5.0 * jnp.sum(q[..., 0:12] ** 2, axis=-1)
+        return c
+
+    def terminal(x_aug, t):
+        x = x_aug[..., :nx]
+        return 10.0 * 3000.0 * ((x[..., 0] - gx) ** 2 + (x[..., 1] - gy) ** 2)
+
+    return running, terminal
+
+
 class EstimatorRunner:
     """Plan on the surrogate; execute on the engine plant."""
 

@@ -69,6 +69,9 @@ class TrainConfig:
     # scheme's compounding divergence is the measured surrogate ceiling,
     # PERF.md). Requires scan_epochs and return_type='delta'.
     rollout_k: int = 1
+    # constructor overrides for the preset model (e.g. state_dim=19 for a
+    # position-only quadruped surrogate — models/predictors.make_model)
+    model_overrides: Optional[dict] = None
     # global-norm gradient clip (0 = off). Practically required for
     # rollout_k > 1: composing an untrained net k times explodes early
     # gradients (measured: the humanoid retrain at lr=1e-3 diverged to
@@ -99,7 +102,8 @@ class TrainState(train_state.TrainState):
 
 def create_train_state(cfg: TrainConfig, sample_input: np.ndarray,
                        steps_per_epoch: int):
-    model = make_model(cfg.model_preset, compute_dtype=cfg.compute_dtype)
+    model = make_model(cfg.model_preset, compute_dtype=cfg.compute_dtype,
+                       **(cfg.model_overrides or {}))
     key = jax.random.PRNGKey(cfg.seed)
     params = model.init(key, jnp.asarray(sample_input[:1]), deterministic=True)
     sched = optax.cosine_decay_schedule(

@@ -54,6 +54,10 @@ def build_rollout_kernel(
     # in tests/test_kernel.py). Remaining array-engine-only: meshes in
     # NON-plane pairs (primitive-vs-mesh / mesh-vs-mesh hull narrowphase).
     from ..physics.model import GEOM_MESH, GEOM_PLANE
+    if model.spatial_tendons:
+        raise NotImplementedError(
+            "spatial (site-chain) tendons are array-engine-only (state-"
+            "dependent length/moment, engine.spatial_tendon_geometry)")
     for pair in model.contact_pairs:
         g1 = model.geoms[pair.geom1]
         g2 = model.geoms[pair.geom2]

@@ -763,6 +763,10 @@ def scalar_step(
     for t in range(model.tendon_coef.shape[0]):
         if not model.tendon_limited[t]:
             continue
+        if (model.tendon_is_spatial is not None
+                and model.tendon_is_spatial[t]):
+            raise NotImplementedError(
+                "spatial-tendon limits are array-engine-only")
         coef = model.tendon_coef[t]
         nz = np.nonzero(coef)[0]
         # tendon length over qpos at single-dof joints

@@ -233,6 +233,37 @@ def project_forces(model: PhysicsModel, S: jax.Array, F_body: jax.Array) -> jax.
     return jnp.einsum("bn,bi,ni->n", A, F_body, S)
 
 
+def spatial_tendon_geometry(model: PhysicsModel, state: "PhysicsState"):
+    """(L (nst,), moment (nst, nv)) of the straight site-chain spatial
+    tendons (round-5; mj_tendon site-wrap semantics without geom wraps):
+    L = sum of segment lengths; moment = dL/dqvel = sum over segments of
+    the unit segment direction dotted into the endpoint point-jacobian
+    difference. State-dependent, unlike the fixed tendons' static coef."""
+    dtype = state.qpos.dtype
+    A = jnp.asarray(model.ancestor_mask, dtype)
+    S_ang, S_lin = state.S[:, :3], state.S[:, 3:]          # (nv, 3)
+    Ls, Ms = [], []
+    for _tid, bodies, lpos in model.spatial_tendons:
+        pts = []
+        for b, lp in zip(bodies, lpos):
+            R_b = sp.quat_to_mat(state.xquat[b])
+            pts.append(state.xpos[b] + R_b @ jnp.asarray(lp, dtype))
+        L = jnp.asarray(0.0, dtype)
+        mom = jnp.zeros(model.nv, dtype)
+        for i in range(len(pts) - 1):
+            d = pts[i + 1] - pts[i]
+            ln = jnp.sqrt(jnp.sum(d * d) + 1e-24)
+            dh = d / ln
+            L = L + ln
+            for bb, pp, sgn in ((bodies[i + 1], pts[i + 1], 1.0),
+                                (bodies[i], pts[i], -1.0)):
+                Jp = (S_lin + jnp.cross(S_ang, pp[None, :])) * A[bb][:, None]
+                mom = mom + sgn * (Jp @ dh)
+        Ls.append(L)
+        Ms.append(mom)
+    return jnp.stack(Ls), jnp.stack(Ms)
+
+
 def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl,
                      state: "PhysicsState" = None) -> jax.Array:
     """qfrc_actuator: motor/position servo torques (mujoco gain/bias model),
@@ -284,6 +315,30 @@ def _actuator_forces(model: PhysicsModel, qpos, qvel, ctrl,
                 u = jnp.clip(u, float(act.ctrlrange[0]),
                              float(act.ctrlrange[1]))
             force = (float(act.gain) * u + float(act.bias[0])
+                     + float(act.bias[2]) * vel)
+            if act.forcelimited:
+                force = jnp.clip(force, float(act.forcerange[0]),
+                                 float(act.forcerange[1]))
+            qfrc = qfrc + moment * force
+            continue
+        if act.tendon_id >= 0 and model.tendon_is_spatial is not None \
+                and model.tendon_is_spatial[act.tendon_id]:
+            # spatial-tendon transmission: state-dependent length/moment
+            if state is None:
+                raise ValueError(
+                    "spatial-tendon actuators need state kinematics")
+            idx = [k for k, (tid, *_ ) in enumerate(model.spatial_tendons)
+                   if tid == act.tendon_id][0]
+            L_all, M_all = spatial_tendon_geometry(model, state)
+            moment = float(act.gear) * M_all[idx]
+            length = float(act.gear) * L_all[idx]
+            vel = moment @ qvel
+            u = ctrl[i]
+            if act.ctrllimited:
+                u = jnp.clip(u, float(act.ctrlrange[0]),
+                             float(act.ctrlrange[1]))
+            force = (float(act.gain) * u + float(act.bias[0])
+                     + float(act.bias[1]) * length
                      + float(act.bias[2]) * vel)
             if act.forcelimited:
                 force = jnp.clip(force, float(act.forcerange[0]),
@@ -420,7 +475,8 @@ def _passive_forces(model: PhysicsModel, qpos, qvel,
 
 
 def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
-                             r_form: bool = False, h: float = 0.0):
+                             r_form: bool = False, h: float = 0.0,
+                             state: "PhysicsState" = None):
     """Joint-limit and tendon-limit constraint penalties with a0
     compensation (r_form=True: inverse-mode R-scaling, see _limit_force).
     Returns (tau (nv,), G (nv, nv) implicit damping)."""
@@ -450,8 +506,12 @@ def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
         tau = tau.at[dadr].add(s * f_c)
         g_diag = g_diag.at[dadr].add(c_l)
 
-    # fixed-tendon limits (humanoid hamstrings)
+    # fixed-tendon limits (humanoid hamstrings); spatial tendons are
+    # masked out of the static-coef path and handled below
     if model.tendon_coef.shape[0]:
+        not_spatial = (np.ones(model.tendon_coef.shape[0])
+                       if model.tendon_is_spatial is None
+                       else 1.0 - model.tendon_is_spatial.astype(float))
         coef = jnp.asarray(model.tendon_coef, dtype)      # (nt, nv)
         # fixed tendon length: L = coef @ (qpos gathered at hinge/slide dofs)
         qd = jnp.zeros(model.nv, dtype).at[jnp.asarray(model.hs_dofadr)].set(
@@ -461,7 +521,7 @@ def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
         La0 = coef @ qacc0
         lo = jnp.asarray(model.tendon_range[:, 0], dtype)
         hi = jnp.asarray(model.tendon_range[:, 1], dtype)
-        lim = jnp.asarray(model.tendon_limited, dtype)
+        lim = jnp.asarray(model.tendon_limited * not_spatial, dtype)
         below = jnp.maximum(lo - L, 0.0)
         above = jnp.maximum(L - hi, 0.0)
         viol = below + above
@@ -473,6 +533,32 @@ def _limit_constraint_forces(model: PhysicsModel, qpos, qvel, qacc0,
                                 r_form=r_form, h=h)
         tau = tau + coef.T @ (s * f_c)
         G_extra = jnp.einsum("t,tn,tm->nm", c_t, coef, coef)
+
+    # spatial-tendon limits: same law over the state-dependent site-chain
+    # length with the traced moment row as J (round-5)
+    if model.spatial_tendons:
+        if state is None:
+            raise ValueError("spatial-tendon limits need state kinematics")
+        sids = np.array([t[0] for t in model.spatial_tendons])
+        if model.tendon_limited[sids].any():
+            L_sp, M_sp = spatial_tendon_geometry(model, state)  # (ns,),(ns,nv)
+            Ldot = M_sp @ qvel
+            La0 = M_sp @ qacc0
+            lo = jnp.asarray(model.tendon_range[sids, 0], dtype)
+            hi = jnp.asarray(model.tendon_range[sids, 1], dtype)
+            lim = jnp.asarray(model.tendon_limited[sids], dtype)
+            below = jnp.maximum(lo - L_sp, 0.0)
+            above = jnp.maximum(L_sp - hi, 0.0)
+            viol = below + above
+            s = jnp.sign(below - above)
+            f_c, c_t = _limit_force(viol, s * Ldot, s * La0,
+                                    model.tendon_limit_solref[sids],
+                                    model.tendon_limit_solimp[sids],
+                                    model.tendon_limit_meff[sids], lim,
+                                    dtype, r_form=r_form, h=h)
+            tau = tau + M_sp.T @ (s * f_c)
+            G_sp = jnp.einsum("t,tn,tm->nm", c_t, M_sp, M_sp)
+            G_extra = G_sp if G_extra is None else G_extra + G_sp
 
     # ball-joint rotation-angle limits: constraint row J = -axis over the
     # ball's 3 dofs (pushing the rotation vector back toward zero), same
@@ -543,7 +629,7 @@ def inverse_dynamics(model: PhysicsModel, state: PhysicsState,
     qacc0 = jnp.zeros(model.nv, dtype) if qacc is None else qacc
     if bool(model.hs_limited.any() or model.tendon_limited.any()):
         tau_l, _ = _limit_constraint_forces(model, qpos, qvel, qacc0,
-                                            r_form=True)
+                                            r_form=True, state=state)
         tau = tau + tau_l
     if model.contact_pairs:
         tau_c, _ = contact_terms(model, state, S, qacc0, r_form=True)
@@ -577,6 +663,13 @@ def actuator_moment(model: PhysicsModel,
                     "state kinematics (actuator_moment(model, state)) or "
                     "use _actuator_forces")
             site_rows.append(i)
+        elif a.tendon_id >= 0 and model.tendon_is_spatial is not None \
+                and model.tendon_is_spatial[a.tendon_id]:
+            if state is None:
+                raise NotImplementedError(
+                    "spatial-tendon moments are state-dependent; pass "
+                    "state kinematics (actuator_moment(model, state))")
+            site_rows.append(("tendon", i))
         elif a.tendon_id >= 0:
             M[i] = a.gear * model.tendon_coef[a.tendon_id]
         elif a.ndof > 1:
@@ -584,7 +677,16 @@ def actuator_moment(model: PhysicsModel,
         else:
             M[i, a.dofadr] = a.gear
     Mj = jnp.asarray(M, state.qpos.dtype if state is not None else None)
-    for i in site_rows:
+    for entry in site_rows:
+        if isinstance(entry, tuple):      # spatial-tendon row
+            i = entry[1]
+            a = model.actuators[i]
+            idx = [k for k, (tid, *_ ) in enumerate(model.spatial_tendons)
+                   if tid == a.tendon_id][0]
+            _, M_sp = spatial_tendon_geometry(model, state)
+            Mj = Mj.at[i].set(float(a.gear) * M_sp[idx])
+            continue
+        i = entry
         a = model.actuators[i]
         dtype = state.qpos.dtype
         b = a.site_bodyid
@@ -814,6 +916,14 @@ def _coupled_constraint_terms(model: PhysicsModel, state: PhysicsState,
         slots.append(np.zeros(len(model.hs_dofadr), np.int32))
 
     if model.tendon_coef.shape[0] and model.tendon_limited.any():
+        if (model.tendon_is_spatial is not None
+                and (model.tendon_limited
+                     & model.tendon_is_spatial).any()):
+            # legacy PGS tier kept for triage only; spatial-tendon limits
+            # live in the newton/penalty tiers
+            raise NotImplementedError(
+                "spatial-tendon limits unsupported in the coupled_pgs "
+                "tier (use the default coupled/newton or penalty tier)")
         coef = jnp.asarray(model.tendon_coef, dtype)
         qd = jnp.zeros(nv, dtype).at[jnp.asarray(model.hs_dofadr)].set(
             qpos[jnp.asarray(model.hs_qposadr)])
@@ -1004,7 +1114,8 @@ def step(model: PhysicsModel, state: PhysicsState, ctrl: jax.Array,
     elif solver == "penalty":
         if has_limits:
             tau_l, G_l = _limit_constraint_forces(
-                model, qpos, qvel, jnp.zeros(model.nv, dtype), h=h)
+                model, qpos, qvel, jnp.zeros(model.nv, dtype), h=h,
+                state=state)
             f = f + tau_l
             Mh = Mh + h * G_l
         if model.contact_pairs:

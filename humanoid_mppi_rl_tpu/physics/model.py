@@ -207,6 +207,9 @@ class PhysicsModel:
     contact_pairs: Tuple[ContactPair, ...]
 
     # fixed tendons: length = offset + coef @ qpos_of_joints (hinge/slide dofs)
+    # spatial (site-chain) tendons: see spatial_tendons / tendon_is_spatial;
+    # their tendon_coef rows are zero and they are EXCLUDED from every
+    # static-coef code path via the tendon_is_spatial mask
     tendon_coef: np.ndarray                   # (ntendon, nv)
     tendon_range: np.ndarray                  # (ntendon, 2)
     tendon_limited: np.ndarray                # (ntendon,) bool
@@ -294,6 +297,13 @@ class PhysicsModel:
     #   limits:  (dofadr, qposadr, max_angle_rad, solref t, solimp t, meff)
     ball_springs: Tuple = ()
     ball_limits: Tuple = ()
+    # spatial tendons (round-5): straight site-chain tendons — tuples of
+    # (tendon_id, site_bodyids (S,), site_pos (S,3) body-local). Length =
+    # sum of segment lengths, moment = dL/dq via point jacobians
+    # (engine.spatial_tendon_geometry). Geom wraps and pulleys refuse at
+    # build. tendon_is_spatial masks them out of the static-coef paths.
+    spatial_tendons: Tuple = ()
+    tendon_is_spatial: np.ndarray = None      # (ntendon,) bool
 
     def body_id(self, name: str) -> int:
         return self.body_names.index(name)
@@ -450,11 +460,13 @@ def build_from_mjcf(
         if trntype == int(mujoco.mjtTrn.mjTRN_TENDON):
             tid = int(m.actuator_trnid[a, 0])
             adr_t, num_t = int(m.tendon_adr[tid]), int(m.tendon_num[tid])
-            if any(int(m.wrap_type[w]) != int(mujoco.mjtWrap.mjWRAP_JOINT)
+            if any(int(m.wrap_type[w]) not in (
+                        int(mujoco.mjtWrap.mjWRAP_JOINT),
+                        int(mujoco.mjtWrap.mjWRAP_SITE))
                    for w in range(adr_t, adr_t + num_t)):
                 raise NotImplementedError(
                     "tendon-transmission actuators support fixed (joint-"
-                    "wrap) tendons only")
+                    "wrap) and site-chain (spatial) tendons only")
             actuators.append(
                 Actuator(
                     dofadr=-1, qposadr=-1,
@@ -676,20 +688,50 @@ def build_from_mjcf(
     tendon_limited = np.zeros(ntendon, dtype=bool)
     tendon_limit_solref = np.tile([0.02, 1.0], (ntendon, 1))
     tendon_limit_solimp = np.tile([0.9, 0.95, 0.001, 0.5, 2.0], (ntendon, 1))
+    spatial_tendons = []
+    tendon_is_spatial = np.zeros(ntendon, dtype=bool)
     for t in range(ntendon):
         adr = int(m.tendon_adr[t])
         num = int(m.tendon_num[t])
-        for w in range(adr, adr + num):
-            if int(m.wrap_type[w]) == int(mujoco.mjtWrap.mjWRAP_JOINT):
+        wtypes = {int(m.wrap_type[w]) for w in range(adr, adr + num)}
+        W_JOINT = int(mujoco.mjtWrap.mjWRAP_JOINT)
+        W_SITE = int(mujoco.mjtWrap.mjWRAP_SITE)
+        if wtypes == {W_JOINT}:
+            for w in range(adr, adr + num):
                 jid = int(m.wrap_objid[w])
                 tendon_coef[t, int(m.jnt_dofadr[jid])] = float(m.wrap_prm[w])
+        elif wtypes == {W_SITE}:
+            # spatial site-chain tendon: straight segments between sites
+            # (geom wraps / pulleys refuse below). Length/moment are
+            # state-dependent — engine.spatial_tendon_geometry.
+            sids = [int(m.wrap_objid[w]) for w in range(adr, adr + num)]
+            spatial_tendons.append((
+                t,
+                tuple(int(m.site_bodyid[s]) for s in sids),
+                np.stack([m.site_pos[s].copy() for s in sids]),
+            ))
+            tendon_is_spatial[t] = True
+        else:
+            raise NotImplementedError(
+                f"tendon {t}: only pure joint-wrap (fixed) or pure "
+                "site-chain (spatial) tendons supported — geom wraps, "
+                "pulleys, and mixed wrap types are not")
+        if float(m.tendon_stiffness[t]) or float(m.tendon_damping[t]):
+            raise NotImplementedError(
+                f"tendon {t}: passive tendon stiffness/damping not "
+                "supported (refuse loudly rather than silently dropping "
+                "the spring force)")
         tendon_range[t] = m.tendon_range[t]
         tendon_limited[t] = bool(m.tendon_limited[t])
         tendon_limit_solref[t] = m.tendon_solref_lim[t]
         tendon_limit_solimp[t] = m.tendon_solimp_lim[t]
     Minv0 = np.linalg.inv(Mfull)
     tendon_limit_meff = np.array([
-        1.0 / max(float(tendon_coef[t] @ Minv0 @ tendon_coef[t]), 1e-8)
+        # spatial tendons: the coef row is zero, use MuJoCo's own
+        # invweight0 (the same quantity evaluated on its geometry)
+        1.0 / max(float(m.tendon_invweight0[t]), 1e-8)
+        if tendon_is_spatial[t]
+        else 1.0 / max(float(tendon_coef[t] @ Minv0 @ tendon_coef[t]), 1e-8)
         for t in range(ntendon)
     ]) if ntendon else np.zeros(0)
     # apparent inertia per dof (limits): 1/(M^-1)_dd at qpos0
@@ -901,4 +943,6 @@ def build_from_mjcf(
             dtype=np.int32),
         ball_springs=tuple(ball_springs),
         ball_limits=tuple(ball_limits),
+        spatial_tendons=tuple(spatial_tendons),
+        tendon_is_spatial=tendon_is_spatial,
     )

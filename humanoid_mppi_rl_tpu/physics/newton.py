@@ -258,6 +258,9 @@ def build_rows(model, state, S, dtype):
 
     # ---- tendon limit rows -----------------------------------------------
     if model.tendon_coef.shape[0] and model.tendon_limited.any():
+        not_spatial = (np.ones(model.tendon_coef.shape[0])
+                       if model.tendon_is_spatial is None
+                       else 1.0 - model.tendon_is_spatial.astype(float))
         coef = jnp.asarray(model.tendon_coef, dtype)
         qd = jnp.zeros(nv, dtype).at[jnp.asarray(model.hs_dofadr)].set(
             qpos[jnp.asarray(model.hs_qposadr)])
@@ -265,7 +268,7 @@ def build_rows(model, state, S, dtype):
         Ldot = coef @ qvel
         lo = jnp.asarray(model.tendon_range[:, 0], dtype)
         hi = jnp.asarray(model.tendon_range[:, 1], dtype)
-        lim = jnp.asarray(model.tendon_limited, dtype)
+        lim = jnp.asarray(model.tendon_limited * not_spatial, dtype)
         below = jnp.maximum(lo - L, 0.0)
         above = jnp.maximum(L - hi, 0.0)
         viol = below + above
@@ -281,6 +284,33 @@ def build_rows(model, state, S, dtype):
                     * jnp.maximum(jnp.asarray(model.tendon_invweight0, dtype),
                                   1e-12))
         act_i.append((viol > 0).astype(dtype) * lim)
+
+    # ---- spatial-tendon limit rows (round-5: traced site-chain moment) ---
+    if model.spatial_tendons:
+        sids = np.array([t[0] for t in model.spatial_tendons])
+        if model.tendon_limited[sids].any():
+            from .engine import spatial_tendon_geometry
+            L_sp, M_sp = spatial_tendon_geometry(model, state)
+            Ldot = M_sp @ qvel
+            lo = jnp.asarray(model.tendon_range[sids, 0], dtype)
+            hi = jnp.asarray(model.tendon_range[sids, 1], dtype)
+            lim = jnp.asarray(model.tendon_limited[sids], dtype)
+            below = jnp.maximum(lo - L_sp, 0.0)
+            above = jnp.maximum(L_sp - hi, 0.0)
+            viol = below + above
+            s = jnp.sign(below - above)
+            k_base, b_ref = solref_kb(model.tendon_limit_solref[sids],
+                                      model.tendon_limit_solimp[sids])
+            d_t = jnp.clip(impedance(
+                viol, model.tendon_limit_solimp[sids]).astype(dtype),
+                _MINIMP, _MAXIMP)
+            Js_i.append(s[:, None] * M_sp)
+            arefs_i.append(d_t * jnp.asarray(k_base, dtype) * viol
+                           - jnp.asarray(b_ref, dtype) * (s * Ldot))
+            Rs_i.append((1.0 - d_t) / d_t
+                        * jnp.maximum(jnp.asarray(
+                            model.tendon_invweight0[sids], dtype), 1e-12))
+            act_i.append((viol > 0).astype(dtype) * lim)
 
     # ---- dof-friction (frictionloss) rows --------------------------------
     fl_dofs = np.nonzero(model.dof_frictionloss > 0)[0]

@@ -29,6 +29,14 @@ SWEEP = {
     "gait_off_slow": {"d_swing_x_w": -8.0, "d_knee_x_w": -3.0,
                       "d_swing_vel_w": -0.15, "d_clearance_w": -2.0,
                       "d_target_vel": -0.1, "d_log_sigma": -0.35},
+    # round-5 per-seed speed ratchet (VERDICT item 6): deltas ON TOP of the
+    # humanoid_walk task preset (use --task humanoid_walk) pushing the slow
+    # seeds toward the reference 0.5 m/s target
+    "walk_tv05": {"d_target_vel": 0.1},
+    "walk_tv05_sv025": {"d_target_vel": 0.1, "d_swing_vel_w": 0.05},
+    "walk_tv06_sv025": {"d_target_vel": 0.2, "d_swing_vel_w": 0.05},
+    "walk_sv030": {"d_swing_vel_w": 0.10},
+    "walk_tv05_goal": {"d_target_vel": 0.1, "d_goal_xy_w": 1.0},
 }
 
 

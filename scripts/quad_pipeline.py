@@ -61,6 +61,11 @@ def main():
     ap.add_argument("--estimator-steps", type=int, default=200)
     ap.add_argument("--estimator-k", type=int, default=2048)
     ap.add_argument("--estimator-horizon", type=int, default=25)
+    ap.add_argument("--surrogate", choices=["full", "qpos"], default="full",
+                    help="full = the reference 37-in contract "
+                         "(FeatureAttention(37,12,...)); qpos = position-"
+                         "only 19-in training + FD-velocity estimator cost "
+                         "(the recipe that fixed the humanoid surrogate)")
     ap.add_argument("--estimator-cost", choices=["goal", "gait"],
                     default="gait",
                     help="bare reference goal cost vs the FD/time-"
@@ -175,6 +180,10 @@ def main():
             lr=args.lr or PRESET_CONFIGS["quadruped"].lr,
             ckpt_dir=os.path.abspath(ckpt_dir), scan_epochs=True,
             rollout_k=args.rollout_k, grad_clip=args.grad_clip,
+            state_idxes=(tuple(range(19)) if args.surrogate == "qpos"
+                         else None),
+            model_overrides=({"state_dim": 19}
+                             if args.surrogate == "qpos" else None),
             plot_path=os.path.join(out, "loss_curve.png"),
             log_path=tpath)
         t0 = time.time()
@@ -183,6 +192,7 @@ def main():
         wall = time.time() - t0
         summary["train"] = {
             "epochs": args.epochs, "rollout_k": args.rollout_k,
+            "surrogate": args.surrogate,
             "n_runs_used": n_flat,
             "n_pairs": res["n_pairs"],
             "best_eval_loss": res["best_eval_loss"],
@@ -201,12 +211,15 @@ def main():
 
         from humanoid_mppi_rl_tpu.collect.estimator import (
             ESTIMATOR_CONFIGS, EstimatorRunner,
-            quadruped_estimator_costs, quadruped_gait_estimator_costs)
+            quadruped_estimator_costs, quadruped_fd_gait_estimator_costs,
+            quadruped_gait_estimator_costs)
         from humanoid_mppi_rl_tpu.envs.tasks import TASKS
         from humanoid_mppi_rl_tpu.learning.train import load_checkpoint
         from humanoid_mppi_rl_tpu.models.predictors import make_model
 
-        net = make_model("quadruped_attention")
+        net = (make_model("quadruped_attention", state_dim=19)
+               if args.surrogate == "qpos"
+               else make_model("quadruped_attention"))
         F = net.state_dim + net.action_dim
         params0 = net.init(jax.random.PRNGKey(0), jnp.zeros((1, F)),
                            deterministic=True)
@@ -232,11 +245,20 @@ def main():
                 fromlist=["build_from_mjcf"]).build_from_mjcf(
                     spec.asset_path())
             home12 = dict(pm_tmp.keyframes)["home"][7:19]
-            running, terminal = quadruped_gait_estimator_costs(home12)
-            est = EstimatorRunner(spec.asset_path(), apply_fn, params, cfg,
-                                  running, terminal,
-                                  batched_dynamics=args.flash,
-                                  fd_time_augment=37)
+            if args.surrogate == "qpos":
+                running, terminal = quadruped_fd_gait_estimator_costs(
+                    home12, dt=float(pm_tmp.timestep))
+                est = EstimatorRunner(
+                    spec.asset_path(), apply_fn, params, cfg,
+                    running, terminal,
+                    state_fn=lambda plant: plant.qpos,
+                    batched_dynamics=args.flash, fd_time_augment=19)
+            else:
+                running, terminal = quadruped_gait_estimator_costs(home12)
+                est = EstimatorRunner(spec.asset_path(), apply_fn, params,
+                                      cfg, running, terminal,
+                                      batched_dynamics=args.flash,
+                                      fd_time_augment=37)
         else:
             running, terminal = quadruped_estimator_costs()
             est = EstimatorRunner(spec.asset_path(), apply_fn, params, cfg,
@@ -255,6 +277,7 @@ def main():
         summary["estimator"] = {
             "steps": int(s.shape[0]), "K": args.estimator_k,
             "T": args.estimator_horizon, "cost": args.estimator_cost,
+            "surrogate": args.surrogate,
             "finite": bool(np.isfinite(s).all()),
             "final_root_xyz": [round(float(v), 4) for v in s[-1, :3]],
             "min_trunk_z": round(float(s[:, 2].min()), 4),

@@ -396,22 +396,91 @@ def test_tendon_actuator_parity():
     np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-8)
 
 
-def test_spatial_tendon_actuator_guard():
-    """Actuators on spatial (site-wrap) tendons refuse loudly."""
-    xml = TENDON_ACT_XML.replace(
-        '<fixed name="t2"><joint joint="j1" coef="0.3"/>'
-        '<joint joint="j2" coef="0.4"/></fixed>',
-        '<spatial name="t2"><site site="s1"/><site site="s2"/></spatial>'
+# round-5: spatial (site-chain) tendons — state-dependent length/moment
+# (engine.spatial_tendon_geometry), limits through all array tiers, and
+# tendon-transmission actuators on them (previously refused at build).
+SPATIAL_TENDON_XML = """
+<mujoco>
+  <option gravity="0 0 -9.81"/>
+  <worldbody>
+    <site name="anchor" pos="0 0 1.3"/>
+    <body pos="0 0 1">
+      <joint name="j1" type="hinge" axis="0 1 0"/>
+      <geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>
+      <site name="mid" pos="0.15 0 0.05"/>
+      <body pos="0.3 0 0">
+        <joint name="j2" type="hinge" axis="0 1 0" damping="0.1"/>
+        <geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.03" mass="0.6"/>
+        <site name="tip" pos="0.22 0 0"/>
+      </body>
+    </body>
+  </worldbody>
+  <tendon>
+    <spatial name="st" limited="true" range="0 0.62">
+      <site site="anchor"/><site site="mid"/><site site="tip"/>
+    </spatial>
+  </tendon>
+  <actuator>
+    <motor tendon="st" gear="2.0" ctrlrange="-3 3" ctrllimited="true"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def test_spatial_tendon_geometry_and_trajectory_parity():
+    """Site-chain tendon length matches MuJoCo C to machine precision, and
+    200 driven steps through the actuated spatial tendon track MuJoCo
+    exactly (the tendon's 0.62 m limit is ACTIVE at the hanging pose —
+    rest length 0.66 — so the state-dependent limit rows are exercised in
+    the default coupled tier)."""
+    from humanoid_mppi_rl_tpu.physics.engine import spatial_tendon_geometry
+    m = mujoco.MjModel.from_xml_string(SPATIAL_TENDON_XML)
+    pm = build_from_mjcf(xml=SPATIAL_TENDON_XML)
+    assert len(pm.spatial_tendons) == 1
+    assert pm.tendon_is_spatial[0]
+    d = mujoco.MjData(m)
+    d.qpos[:] = [0.4, -0.3]
+    d.qvel[:] = [0.3, -0.2]
+    st = forward(pm, jnp.asarray(d.qpos.copy()), jnp.asarray(d.qvel.copy()))
+    mujoco.mj_forward(m, d)
+    L, M = spatial_tendon_geometry(pm, st)
+    np.testing.assert_allclose(float(L[0]), float(d.ten_length[0]),
+                               atol=1e-12)
+    rng = np.random.default_rng(2)
+    ctrls = rng.uniform(-1.5, 1.5, (200, 1))
+    for k in range(200):
+        d.ctrl[:] = ctrls[k]
+        mujoco.mj_step(m, d)
+        st = step(pm, st, jnp.asarray(ctrls[k]))
+    np.testing.assert_allclose(np.asarray(st.qpos), d.qpos, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(st.qvel), d.qvel, atol=1e-11)
+
+
+def test_spatial_tendon_guards():
+    """Geom wraps/pulleys, passive tendon springs, and the kernel path
+    refuse loudly."""
+    wrapped = SPATIAL_TENDON_XML.replace(
+        '<site site="anchor"/><site site="mid"/><site site="tip"/>',
+        '<site site="anchor"/>'
+        '<geom geom="wrapgeom"/>'
+        '<site site="tip"/>'
     ).replace(
-        '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>',
-        '<geom type="capsule" fromto="0 0 0 0.3 0 0" size="0.04" mass="1"/>'
-        '<site name="s1" pos="0 0 0.05"/>'
-    ).replace(
-        '<geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.03" mass="0.6"/>',
-        '<geom type="capsule" fromto="0 0 0 0.25 0 0" size="0.03" mass="0.6"/>'
-        '<site name="s2" pos="0 0 0.05"/>')
-    with pytest.raises(NotImplementedError, match="fixed"):
-        build_from_mjcf(xml=xml)
+        '<site name="mid" pos="0.15 0 0.05"/>',
+        '<site name="mid" pos="0.15 0 0.05"/>'
+        '<geom name="wrapgeom" type="sphere" size="0.03" pos="0.15 0 0.1" '
+        'contype="0" conaffinity="0"/>')
+    with pytest.raises(NotImplementedError, match="site-chain"):
+        build_from_mjcf(xml=wrapped)
+    springy = SPATIAL_TENDON_XML.replace(
+        '<spatial name="st" limited="true" range="0 0.62">',
+        '<spatial name="st" stiffness="5" limited="true" range="0 0.62">')
+    with pytest.raises(NotImplementedError, match="stiffness"):
+        build_from_mjcf(xml=springy)
+    from humanoid_mppi_rl_tpu.ops.kernel_costs import KERNEL_COSTS
+    from humanoid_mppi_rl_tpu.ops.rollout_kernel import build_rollout_kernel
+    pm = build_from_mjcf(xml=SPATIAL_TENDON_XML)
+    with pytest.raises(NotImplementedError, match="spatial"):
+        build_rollout_kernel(pm, KERNEL_COSTS["cartpole"], 4, block_k=8)
 
 
 def test_mesh_sdf_rows_sphere_capsule():
