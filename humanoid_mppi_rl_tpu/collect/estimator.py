@@ -257,49 +257,63 @@ def quadruped_gait_estimator_costs(home12, goal_xy=(2.0, 0.0), nx: int = 37,
 
 def quadruped_fd_gait_estimator_costs(home12, goal_xy=(2.0, 0.0),
                                       nx: int = 19, dt: float = 0.002,
-                                      target_vel: float = 0.45,
                                       w_home: float = 3000.0):
-    """The trot cost over a POSITION-ONLY quad surrogate state [qpos(19)]
-    with FD velocities from the [x; x_prev; t_abs] augmentation — the
-    humanoid recipe (round-5: position-only rollout_k training gave the
-    humanoid an 80x open-loop sanity gain; the full-37-state quad
-    surrogate still predicts +-0.3 m root moves in 0.05 s open-loop, so
-    velocity prediction is the failing part of that contract)."""
+    """The PROVEN collection trot cost over a POSITION-ONLY quad surrogate
+    state [qpos(19)] with FD velocities from the [x; x_prev; t_abs]
+    augmentation — the humanoid FK-cost recipe applied to the Go1.
+
+    Term-for-term this is costs/quadruped.make_costs (the reference
+    src/quadruped_datacollection.py:66-80 cost) PLUS the GAIT_TUNED
+    runtime deltas that demonstrably trot on the true plant (w_height
+    500 -> exp(3)*500, home-posture 3000 on the true 12 leg joints), with
+    every velocity read replaced by its finite difference over the
+    augmentation (the position-only surrogate has no velocities — same as
+    the humanoid contract, reference learning/train.py:36-45)."""
     import math
 
-    gx, gy = float(goal_xy[0]), float(goal_xy[1])
+    goal = jnp.asarray([float(goal_xy[0]), float(goal_xy[1])])
     home = jnp.asarray(home12)
+    w_pos, w_height, w_vel = 50000.0, 500.0 * math.exp(3.0), 30000.0
+    w_ori, w_ang, w_ctrl = 500.0, 20.0, 0.01
+    w_goal, w_trot = 3000.0, 34000.0
+    w_front, w_back = 4400.0, 10000.0
+    w_knee, w_posture = 2000.0, 5.0
+    target_height, base_tv, osc, nk, period = 0.4, 0.9, 0.1, 0.5, 0.5
 
     def running(x_aug, u, t):
         q = x_aug[..., :nx]
         qp = x_aug[..., nx:2 * nx]
         tau = x_aug[..., 2 * nx]
-        vx = (q[..., 0] - qp[..., 0]) / dt
-        vy = (q[..., 1] - qp[..., 1]) / dt
-        vleg = (q[..., 7:10] - qp[..., 7:10]) / dt
-        phase = (tau % 0.5) / 0.5 * 2 * math.pi
+        vel3 = (q[..., 0:3] - qp[..., 0:3]) / dt
+        ang3 = (q[..., 6:9] - qp[..., 6:9]) / dt   # [sic] reference idx
+        phase = (tau % period) / period * 2 * math.pi
         trot = jnp.sin(phase)
-        tv = target_vel + 0.1 * jnp.sin(phase)
-        c = 10000.0 * (q[..., 2] - 0.4) ** 2
-        c += 30000.0 * (vx - tv) ** 2
-        c += 500.0 * (q[..., 6] ** 2 + q[..., 7] ** 2)   # [sic] reference idx
-        c += 20.0 * jnp.sum(vleg ** 2, axis=-1)
-        c += 50000.0 * (q[..., 1] ** 2 + vy ** 2)
-        c += 0.01 * jnp.sum(u ** 2, axis=-1)
-        c += 3000.0 * ((q[..., 0] - gx) ** 2 + (q[..., 1] - gy) ** 2)
-        f1 = (q[..., 2] - q[..., 11]) * trot             # [sic] reference idx
-        f2 = (q[..., 5] - q[..., 8]) * (-trot)
-        c += 34000.0 * (f1 * f1 + f2 * f2)
+        tv = base_tv + osc * jnp.sin(phase)
+        FL, FR = q[..., 2], q[..., 5]              # [sic] reference leg idx
+        RL, RR = q[..., 8], q[..., 11]
+        c = w_height * (q[..., 2] - target_height) ** 2
+        c += w_vel * (vel3[..., 0] - tv) ** 2
+        c += w_ori * (q[..., 6] ** 2 + q[..., 7] ** 2)   # [sic]
+        c += w_ang * jnp.sum(ang3 ** 2, axis=-1)
+        c += w_pos * (q[..., 1] ** 2 + vel3[..., 1] ** 2)
+        c += w_ctrl * jnp.sum(u ** 2, axis=-1)
+        c += w_goal * jnp.sum((q[..., 0:2] - goal) ** 2, axis=-1)
+        f1 = (FL - RR) * trot
+        f2 = (FR - RL) * (-trot)
+        c += w_trot * (f1 * f1 + f2 * f2)
+        c += -w_front * (u[..., 1] ** 2 + u[..., 4] ** 2)
+        c += w_front * (u[..., 2] ** 2 + u[..., 5] ** 2)
+        c += -w_back * (u[..., 7] ** 2 + u[..., 10] ** 2)
+        c += w_back * (u[..., 8] ** 2 + u[..., 11] ** 2)
+        c += w_knee * ((FL - nk) ** 2 + (FR - nk) ** 2
+                       + (RL - nk) ** 2 + (RR - nk) ** 2)
+        c += w_posture * jnp.sum(q[..., 0:12] ** 2, axis=-1)
         c += w_home * jnp.sum((q[..., 7:19] - home) ** 2, axis=-1)
-        nk = 0.5
-        c += 2000.0 * ((q[..., 2] - nk) ** 2 + (q[..., 5] - nk) ** 2
-                       + (q[..., 8] - nk) ** 2 + (q[..., 11] - nk) ** 2)
-        c += 5.0 * jnp.sum(q[..., 0:12] ** 2, axis=-1)
         return c
 
     def terminal(x_aug, t):
-        x = x_aug[..., :nx]
-        return 10.0 * 3000.0 * ((x[..., 0] - gx) ** 2 + (x[..., 1] - gy) ** 2)
+        # reference adds no terminal (costs/quadruped.make_costs)
+        return jnp.zeros(x_aug.shape[:-1], x_aug.dtype)
 
     return running, terminal
 
@@ -312,7 +326,8 @@ class EstimatorRunner:
                  state_slice: Optional[int] = None, seed: int = 0,
                  state_fn: Optional[Callable] = None,
                  batched_dynamics: bool = False,
-                 fd_time_augment: Optional[int] = None):
+                 fd_time_augment: Optional[int] = None,
+                 ego_cols=None):
         """`state_fn(plant) -> x` overrides the default [qpos; qvel]
         estimator state (e.g. the humanoid surrogate plans on
         [qpos; foot heights] — the 30 columns it was trained on).
@@ -327,7 +342,9 @@ class EstimatorRunner:
         self.plant_model = build_from_mjcf(asset_path,
                                            include_self_collisions=True)
         self.cfg = cfg
-        net_dyn = make_learned_dynamics(apply_fn, params, state_slice=state_slice)
+        net_dyn = make_learned_dynamics(apply_fn, params,
+                                        state_slice=state_slice,
+                                        ego_cols=ego_cols)
         plant_model = self.plant_model
         extract = state_fn or (lambda plant: flat_state_from_physics(plant))
         if fd_time_augment is not None:
@@ -348,13 +365,22 @@ class EstimatorRunner:
         self.seed = seed
 
     def run(self, n_steps: int = 200, init_qpos=None, init_qvel=None,
-            seed: Optional[int] = None) -> TrajectoryLogger:
+            seed: Optional[int] = None, init_plan=None) -> TrajectoryLogger:
+        """`init_plan` (nu,) seeds every horizon row of the initial plan —
+        essential for position-servo robots (Go1): a zero-initialized
+        replace-mode plan commands zero joint targets, collapsing the
+        stance (the r4/r5 backward-drift cause — the r5 truth-control
+        reproduced the drift with a PERFECT model,
+        scripts/dev_quad_cost_truth.py)."""
         m = self.plant_model
         qpos = jnp.asarray(init_qpos if init_qpos is not None else m.qpos0)
         qvel = jnp.asarray(init_qvel if init_qvel is not None else np.zeros(m.nv))
         plant = forward(m, qpos, qvel)
         ms = MPPIState.seeded(self.seed if seed is None else seed,
                               self.cfg.T, m.nu)
+        if init_plan is not None:
+            ms = ms.replace(U=jnp.tile(jnp.asarray(init_plan, jnp.float32),
+                                       (self.cfg.T, 1)))
         log = TrajectoryLogger()
         for _ in range(n_steps):
             action, ms, new_plant, _ = self.control_step(ms, plant)

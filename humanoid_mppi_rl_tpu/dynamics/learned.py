@@ -19,16 +19,22 @@ import numpy as np
 
 def make_learned_dynamics(apply_fn: Callable, params: Any,
                           mode: str = "delta",
-                          state_slice: Optional[int] = None):
+                          state_slice: Optional[int] = None,
+                          ego_cols: Optional[Sequence[int]] = None):
     """dynamics(x, u, t) -> x' over flat state vectors.
 
     mode: 'delta' (x + net(...)) or 'raw' (net output is the next state),
     matching learning.data return_type semantics. `state_slice` truncates the
     net output (e.g. a 30-dim predictor driving a 30-dim estimator state).
-    """
+    `ego_cols` zeroes those state columns in the NET INPUT only (egocentric
+    root x/y for a model trained on translated windows,
+    learning.data ego_xy_cols): deltas stay translation-invariant so the
+    integrated state keeps its absolute coordinates."""
+    ego = None if ego_cols is None else np.asarray(list(ego_cols))
 
     def dynamics(x: jax.Array, u: jax.Array, t: jax.Array) -> jax.Array:
-        inp = jnp.concatenate([x, u], axis=-1)
+        x_in = x if ego is None else x.at[..., ego].set(0.0)
+        inp = jnp.concatenate([x_in, u], axis=-1)
         out = apply_fn(params, inp, deterministic=True)
         if state_slice is not None:
             out = out[..., :state_slice]

@@ -72,6 +72,9 @@ class TrainConfig:
     # constructor overrides for the preset model (e.g. state_dim=19 for a
     # position-only quadruped surrogate — models/predictors.make_model)
     model_overrides: Optional[dict] = None
+    # state columns zeroed in every net input (egocentric root x/y —
+    # make_scanned_rollout_steps ego_cols; rollout_k > 1 only)
+    ego_xy_cols: Optional[Sequence[int]] = None
     # global-norm gradient clip (0 = off). Practically required for
     # rollout_k > 1: composing an untrained net k times explodes early
     # gradients (measured: the humanoid retrain at lr=1e-3 diverged to
@@ -249,16 +252,28 @@ def save_loss_curve(path: str, history) -> Optional[str]:
     return path
 
 
-def make_scanned_rollout_steps(apply_fn, S, A, k: int):
+def make_scanned_rollout_steps(apply_fn, S, A, k: int,
+                               ego_cols: Optional[Sequence[int]] = None):
     """Whole-epoch device programs over device-resident rollout windows:
     S (W, k+1, sdim) raw states, A (W, k, adim). The loss rolls the model
-    open-loop with the logged actions and averages the per-step MSEs."""
+    open-loop with the logged actions and averages the per-step MSEs.
+
+    `ego_cols`: state columns zeroed in every NET INPUT (egocentric root
+    x/y). Absolute root position carries no dynamics information but its
+    large magnitude drowns the mm-scale per-step deltas the delta head
+    must resolve — the r5 quad surrogate trained on absolute x
+    overpredicted per-step forward motion 3-5x open-loop. The deltas are
+    translation-invariant, so composition stays absolute; the estimator
+    applies the same zeroing at plan time
+    (dynamics/learned.make_learned_dynamics ego_cols)."""
+    ego = None if ego_cols is None else np.asarray(list(ego_cols))
 
     def _rollout_loss(params, s_seq, a_seq, det, sub=None):
         x = s_seq[:, 0]
         tot = 0.0
         for j in range(k):
-            inp = jnp.concatenate([x, a_seq[:, j]], axis=-1)
+            x_in = x if ego is None else x.at[:, ego].set(0.0)
+            inp = jnp.concatenate([x_in, a_seq[:, j]], axis=-1)
             kw = ({"deterministic": True} if det
                   else {"deterministic": False, "rngs": {"dropout": sub}})
             x = x + apply_fn(params, inp, **kw)
@@ -341,7 +356,7 @@ def train_model(
         S = jnp.asarray(ds.win_states)
         A = jnp.asarray(ds.win_actions)
         train_epoch_fn, eval_all_fn = make_scanned_rollout_steps(
-            model.apply, S, A, cfg.rollout_k)
+            model.apply, S, A, cfg.rollout_k, ego_cols=cfg.ego_xy_cols)
         B = cfg.batch_size
         n_ev = len(ds.win_eval_idx) // B
         eval_idx_dev = (jnp.asarray(

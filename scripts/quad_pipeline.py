@@ -184,6 +184,7 @@ def main():
                          else None),
             model_overrides=({"state_dim": 19}
                              if args.surrogate == "qpos" else None),
+            ego_xy_cols=((0, 1) if args.surrogate == "qpos" else None),
             plot_path=os.path.join(out, "loss_curve.png"),
             log_path=tpath)
         t0 = time.time()
@@ -248,11 +249,26 @@ def main():
             if args.surrogate == "qpos":
                 running, terminal = quadruped_fd_gait_estimator_costs(
                     home12, dt=float(pm_tmp.timestep))
+                # position-servo operating point: accumulate-mode updates
+                # around a HOME-pose-seeded plan, noise/ctrl clamped to the
+                # actuator ranges (the zero-centered replace-mode plan
+                # commands zero joint targets and collapses the stance —
+                # the measured backward-drift cause, dev_quad_cost_truth)
+                lo = tuple(float(a.ctrlrange[0]) for a in pm_tmp.actuators)
+                hi = tuple(float(a.ctrlrange[1]) for a in pm_tmp.actuators)
+                # the PROVEN collection operating point (go1_collect +
+                # GAIT_TUNED): accumulate update, sigma 0.3*0.6, zero tail
+                # decay, ctrl clamped to the position-servo ranges
+                cfg = dataclasses.replace(
+                    cfg, update_mode="accumulate", sigma=0.3 * 0.6,
+                    tail_decay=0.0,
+                    ctrl_low=lo, ctrl_high=hi, clamp_rollout_ctrl=True)
                 est = EstimatorRunner(
                     spec.asset_path(), apply_fn, params, cfg,
                     running, terminal,
                     state_fn=lambda plant: plant.qpos,
-                    batched_dynamics=args.flash, fd_time_augment=19)
+                    batched_dynamics=args.flash, fd_time_augment=19,
+                    ego_cols=(0, 1))
             else:
                 running, terminal = quadruped_gait_estimator_costs(home12)
                 est = EstimatorRunner(spec.asset_path(), apply_fn, params,
@@ -269,6 +285,9 @@ def main():
         init_qpos = dict(est.plant_model.keyframes).get("home")
         t0 = time.time()
         log = est.run(n_steps=args.estimator_steps, seed=args.seed,
+                      init_plan=(home12 if args.surrogate == "qpos"
+                                 and args.estimator_cost == "gait"
+                                 else None),
                       init_qpos=init_qpos)
         wall = time.time() - t0
         s, a, t = log.arrays()
