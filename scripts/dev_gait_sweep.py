@@ -37,6 +37,9 @@ SWEEP = {
     "walk_tv06_sv025": {"d_target_vel": 0.2, "d_swing_vel_w": 0.05},
     "walk_sv030": {"d_swing_vel_w": 0.10},
     "walk_tv05_goal": {"d_target_vel": 0.1, "d_goal_xy_w": 1.0},
+    "walk_tv05_losig": {"d_target_vel": 0.1, "d_log_sigma": -0.15},
+    "walk_tv05_stride": {"d_target_vel": 0.1, "d_foot_offset": 0.1,
+                         "d_swing_vel_w": 0.03},
 }
 
 

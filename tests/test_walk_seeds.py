@@ -54,22 +54,28 @@ def test_seed_trajectories_rescore():
 
 
 def test_seed_trajectories_stride_not_shuffle():
-    """Round-3 VERDICT weak-5: 'the walking evidence tolerates shuffling'
-    (a seed with double_support_frac 1.0 passed). The round-4 stride
-    continuation (humanoid_walk preset: +0.20 swing-foot velocity reward,
-    0.4 m/s target — envs/tasks.py) must make EVERY seed commit true
-    swing phases: bounded double support, recurring committed switches,
-    and real speed."""
+    """Round-3 VERDICT weak-5 + round-5 item 6: every seed must commit
+    true swing phases AND reach reference-class speed. The round-5 preset
+    (target_vel 0.5 — the reference's own target,
+    src/Humanoid_mppi.jl:42) delivers 0.43-0.63 m/s across all six seeds
+    at fleet mean 0.54. Measured tradeoff (dev_gait_sweep walk_tv05*
+    settings): the faster target raises ONE seed's double-support to
+    ~0.32 — every stride-preserving variant swept either dropped a seed
+    below 0.4 m/s or blew up lateral drift — so the per-seed ds bound is
+    0.35 with the fleet MEDIAN held tight at < 0.2."""
     from dev_gait import gait_metrics
 
     s = _summary()
-    speeds = []
+    speeds, ds = [], []
     for r in s["runs"]:
         data = np.load(os.path.join(DIR, f"seed{r['seed']}.npz"))
         m = gait_metrics(data["states"], data["times"])
-        assert m["double_support_frac"] < 0.5, (r["seed"], m)
+        assert m["double_support_frac"] < 0.35, (r["seed"], m)
         assert m["foot_switches"] >= 2, (r["seed"], m)
-        assert m["mean_speed_mps"] > 0.2, (r["seed"], m)
+        # round-5 ratchet: every seed at >= 0.4 m/s
+        assert m["mean_speed_mps"] > 0.4, (r["seed"], m)
         speeds.append(m["mean_speed_mps"])
-    # fleet speed midpoint pushes toward the reference's 0.5 m/s target
-    assert np.mean(speeds) > 0.35, speeds
+        ds.append(m["double_support_frac"])
+    # fleet mean at the reference target; stride held at the fleet median
+    assert np.mean(speeds) > 0.5, speeds
+    assert np.median(ds) < 0.2, ds
