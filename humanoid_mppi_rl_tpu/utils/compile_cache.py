@@ -66,7 +66,8 @@ def schema_fingerprint() -> str:
     try:
         import dataclasses as _dc
 
-        from ..physics.model import PhysicsModel, PhysicsState
+        from ..physics.engine import PhysicsState
+        from ..physics.model import PhysicsModel
         from ..solver.mppi import MPPIConfig, MPPIState
 
         for cls in (PhysicsModel, PhysicsState, MPPIConfig, MPPIState):
