@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--flash", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--replans", type=int, default=1)
     ap.add_argument("--save", default="")
     ap.add_argument("--configs", nargs="+", default=None,
                     help="subset of sweep config names to run")
@@ -73,7 +74,8 @@ def main():
         apply_fn = net.apply
 
     cfg = dataclasses.replace(ESTIMATOR_CONFIGS["humanoid"],
-                              n_samples=args.k, horizon=args.horizon)
+                              n_samples=args.k, horizon=args.horizon,
+                              replans_per_step=args.replans)
 
     sweeps = {
         "gait60_v035": dict(w_gait=60.0, target_vel=0.35),

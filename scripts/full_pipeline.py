@@ -43,6 +43,12 @@ def main():
     ap.add_argument("--retries", type=int, default=2)
     ap.add_argument("--task", default="humanoid_walk")
     ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--rollout-k", type=int, default=1,
+                    help="multi-step rollout loss window (8 reproduces "
+                         "the rollout_k surrogate that is open-loop sane "
+                         "— artifacts/rollout_k_surrogate; 1 = the "
+                         "reference one-step contract)")
+    ap.add_argument("--grad-clip", type=float, default=0.0)
     ap.add_argument("--estimator-steps", type=int, default=100)
     ap.add_argument("--estimator-k", type=int, default=2048)
     ap.add_argument("--flash", action="store_true",
@@ -106,6 +112,9 @@ def main():
         cfg = dataclasses.replace(
             PRESET_CONFIGS["humanoid"], epochs=args.epochs,
             ckpt_dir=os.path.abspath(ckpt_dir), scan_epochs=True,
+            rollout_k=args.rollout_k,
+            grad_clip=(args.grad_clip or (1.0 if args.rollout_k > 1
+                                          else 0.0)),
             plot_path=os.path.join(out, "loss_curve.png"),
             log_path=os.path.join(out, "train_metrics.jsonl"))
         t0 = time.time()
