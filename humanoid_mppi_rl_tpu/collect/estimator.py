@@ -195,6 +195,57 @@ def humanoid_fk_estimator_costs(model, dt: float = 0.005, nx: int = 30,
     return running, terminal
 
 
+def humanoid_predvel_estimator_costs(model, nx: int = 57,
+                                     cost_kwargs: Optional[dict] = None):
+    """The proven full-state walking cost over a VELOCITY-SUPERVISED
+    surrogate state [qpos(28); qvel(27); foot_l_z; foot_r_z] — the round-5
+    "named next training contract" (PERF.md): the surrogate predicts qvel
+    alongside qpos, so the cost reads real velocities instead of
+    finite-differencing compounding position error (the FD-SNR failure
+    measured for both the humanoid FK loop and the Go1 loop).
+
+    Identical cost to humanoid_fk_estimator_costs (costs/humanoid
+    make_costs, humanoid_walk weights) but the PhysicsState is
+    reconstructed from the PREDICTED qpos + PREDICTED qvel via the
+    engine's forward() kinematics — no FD anywhere. Operates on the
+    [x; x_prev; t_abs] augmentation only for the absolute gait clock
+    (x_prev is unused)."""
+    from ..costs import humanoid as humc
+    from ..physics.engine import forward as _fk_forward
+
+    kw = dict(humc.WEIGHTS_WALK, target=(10.0, 0.0, 1.28),
+              w_height=22.0, w_orient=17.0, w_goal_xy=1.0,
+              w_clearance=1.0, w_foot_lift=10.0,
+              w_swing_vel=0.20, target_vel=(0.4, 0.0))
+    kw.update(cost_kwargs or {})
+    run_full, term_full = humc.make_costs(model, **kw)
+    nv = model.nv
+
+    def reconstruct(x_aug):
+        q = x_aug[:28]
+        qvel = x_aug[28:28 + nv]
+        tau = x_aug[2 * nx]
+        return _fk_forward(model, q, qvel, time=tau)
+
+    def _run1(x_aug, u, t):
+        return run_full(reconstruct(x_aug), u, t)
+
+    def _term1(x_aug, t):
+        return term_full(reconstruct(x_aug), t)
+
+    def running(x, u, t):
+        if x.ndim == 2:       # batched rollouts (flash kernel path)
+            return jax.vmap(lambda xa, ua: _run1(xa, ua, t))(x, u)
+        return _run1(x, u, t)
+
+    def terminal(x, t):
+        if x.ndim == 2:
+            return jax.vmap(lambda xa: _term1(xa, t))(x)
+        return _term1(x, t)
+
+    return running, terminal
+
+
 def quadruped_estimator_costs(goal_pos=(2.0, 0.0, 0.35), action_dim=12):
     """reference src/quadruped_mppi_estimator.py:48-55"""
     goal = jnp.asarray(goal_pos)
