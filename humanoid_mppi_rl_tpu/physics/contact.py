@@ -467,12 +467,33 @@ def collect_contact_rows(model: PhysicsModel, state, S: jax.Array):
             def add_mesh_rows(query_pts, radius, phi_all, grad_all,
                               bid, other):
                 """Emit top-K deepest rows. `grad_all` points into the row
-                body `bid`; contact position midway between surfaces."""
+                body `bid`; contact position midway between surfaces.
+
+                Near-coincident deepest points are deduplicated (ADVICE r4):
+                STL meshes routinely store each vertex once per facet, so
+                the raw top-k can spend every slot on copies of one point,
+                leaving wide patches torque-under-constrained. Candidates
+                = top 2k by depth; a candidate within `tol` of any deeper
+                candidate is demoted behind all distinct ones, and if it
+                is still selected (fewer than k distinct points exist) its
+                row is deactivated via phi >> margin."""
                 kk = min(4, int(query_pts.shape[0]))
-                _, idx = jax.lax.top_k(-phi_all, kk)
+                ncand = min(2 * kk, int(query_pts.shape[0]))
+                tol2 = jnp.asarray(1e-6**2, dtype)   # coincident @ 1 um
+                _, cidx = jax.lax.top_k(-phi_all, ncand)
+                cand = query_pts[cidx]                         # (C, 3)
+                d2 = jnp.sum((cand[:, None, :] - cand[None, :, :]) ** 2,
+                             axis=-1)
+                earlier = jnp.tril(jnp.ones((ncand, ncand), bool), k=-1)
+                dup = jnp.any((d2 < tol2) & earlier, axis=1)   # (C,)
+                big = jnp.asarray(1e9, dtype)
+                rank_phi = phi_all[cidx] + dup * big
+                _, order = jax.lax.top_k(-rank_phi, kk)
+                idx = cidx[order]
+                phi_sel = jnp.where(dup[order], big, phi_all[idx])
                 for r_i in range(kk):
                     qp = query_pts[idx[r_i]]
-                    phi_v = phi_all[idx[r_i]] - radius
+                    phi_v = phi_sel[r_i] - radius
                     n_v = grad_all[idx[r_i]]
                     body_ids.append(bid)
                     other_ids.append(other)

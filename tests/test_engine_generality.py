@@ -620,3 +620,45 @@ def test_site_refsite_guard():
         '<motor site="tip" refsite="thruster" gear="1 0 0 0 0 0"/>')
     with pytest.raises(NotImplementedError, match="refsite"):
         build_from_mjcf(xml=xml)
+
+
+# round-5 advisor item: near-coincident mesh vertices (scanned/unindexed
+# meshes store vertex clusters MuJoCo's compiler keeps when they differ by
+# >~1e-7) must not spend every narrowphase slot on one physical point —
+# the top-k dedup in contact.add_mesh_rows replaces micron-duplicates with
+# the next-deepest DISTINCT vertex so wide patches stay torque-constrained.
+def _clustered_cube_xml():
+    c = [(sx, sy, sz) for sx in (-.1, .1) for sy in (-.1, .1)
+         for sz in (-.1, .1)]
+    pts = []
+    for p in c:
+        for j in range(3):   # 3-cluster per corner, ~0.45 um apart
+            pts.append((p[0] + j * 2e-7, p[1] + j * 1e-7, p[2]))
+    verts = "  ".join(" ".join(repr(v) for v in p) for p in pts)
+    return f"""
+<mujoco>
+  <asset><mesh name="cube" vertex="{verts}"/></asset>
+  <worldbody>
+    <geom type="box" size="0.5 0.5 0.15" pos="0 0 0.15"/>
+    <body pos="0 0 0.45">
+      <freejoint/>
+      <geom type="mesh" mesh="cube" mass="1"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_clustered_vertex_mesh_rests_level():
+    xml = _clustered_cube_xml()
+    pm = build_from_mjcf(xml=xml)
+    mesh_geom = [g for g in pm.geoms if g.mesh_verts is not None][0]
+    assert np.asarray(mesh_geom.mesh_verts).shape[0] == 24  # clusters kept
+    m, d, q, qv = _settle_both(xml)
+    assert np.isfinite(q).all()
+    assert np.abs(qv).max() < 0.05, qv
+    assert abs(q[2] - d.qpos[2]) < 3e-3, (q[2], d.qpos[2])
+    # level rest: all four distinct bottom corners are supported, so the
+    # quaternion stays near identity (tilt < ~1 degree)
+    tilt = 2 * np.arccos(np.clip(abs(q[3]), -1.0, 1.0))
+    assert tilt < np.deg2rad(1.0), tilt
