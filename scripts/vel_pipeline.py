@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--max-steps", type=int, default=2500)
     ap.add_argument("--retries", type=int, default=1)
     ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--lr", type=float, default=3e-4,
+                    help="peak LR; 1e-3 (the 30-dim rollout_k recipe) is "
+                         "unstable on the 57-dim velocity-supervised "
+                         "composition (measured: eval oscillates 1e3-5e3)")
     ap.add_argument("--rollout-k", type=int, default=8)
     ap.add_argument("--estimator-steps", type=int, default=120)
     ap.add_argument("--estimator-k", type=int, default=2048)
@@ -117,7 +121,7 @@ def main():
             PRESET_CONFIGS, train_model)
 
         cfg = dataclasses.replace(
-            PRESET_CONFIGS["humanoid"], epochs=args.epochs,
+            PRESET_CONFIGS["humanoid"], epochs=args.epochs, lr=args.lr,
             ckpt_dir=os.path.abspath(ckpt_dir), scan_epochs=True,
             rollout_k=args.rollout_k, grad_clip=1.0,
             state_idxes=None,                      # full 57-col state
